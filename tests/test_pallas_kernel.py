@@ -1,0 +1,117 @@
+"""Fused Pallas integrand-kernel tests (interpret mode on the CPU backend).
+
+The kernel is the TPU-native replacement for the reference's CCParallel
+megabatch (`ParallelNeuralIntegral.py:37-80`); these tests pin it against
+the pure-JAX quadrature oracle in both value and all four gradient paths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umnn_tpu.nn.core import ACTIVATIONS, mlp_apply, mlp_init
+from umnn_tpu.ops.integrand_kernel import fused_cc_integral
+from umnn_tpu.ops.quadrature import cc_quadrature, integrate_autodiff
+
+E = 4
+NB = 12
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    layers = mlp_init(key, [1 + E, 16, 16, 1])
+    ws = [l["w"] for l in layers]
+    bs = [l["b"] for l in layers]
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 2), minval=0.3, maxval=1.5)
+    h = jax.random.normal(jax.random.PRNGKey(2), (3, 2, E))
+    n_np, w_np = cc_quadrature(NB)
+    nodes = jnp.asarray(n_np, jnp.float32)
+    ccw = jnp.asarray(w_np, jnp.float32)
+    return layers, ws, bs, x, h, nodes, ccw
+
+
+def oracle(layers, x, h, neg_slope=0.01):
+    hidden = (lambda v: jax.nn.leaky_relu(v, neg_slope)) if neg_slope else ACTIVATIONS["ReLU"]
+
+    def f(p, X, H):
+        inp = jnp.concatenate([X, H], axis=-1)
+        return mlp_apply(p, inp, hidden, ACTIVATIONS["ELUPlus"])
+
+    xf = x.reshape(-1, 1)
+    hf = h.reshape(-1, E)
+    out = integrate_autodiff(f, layers, jnp.zeros_like(xf), xf, hf, nb_steps=NB)
+    return out.reshape(x.shape)
+
+
+def test_forward_matches_oracle(setup):
+    layers, ws, bs, x, h, nodes, ccw = setup
+    z_k = fused_cc_integral(ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True)
+    z_o = oracle(layers, x, h)
+    np.testing.assert_allclose(z_k, z_o, rtol=1e-5, atol=1e-6)
+
+
+def test_all_gradients_match_oracle(setup):
+    layers, ws, bs, x, h, nodes, ccw = setup
+
+    def loss_k(ws, bs, x, h):
+        return jnp.sum(
+            jnp.sin(fused_cc_integral(ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True))
+        )
+
+    def loss_o(layers, x, h):
+        return jnp.sum(jnp.sin(oracle(layers, x, h)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(ws, bs, x, h)
+    go = jax.grad(loss_o, argnums=(0, 1, 2))(layers, x, h)
+    for a, l in zip(gk[0], go[0]):
+        np.testing.assert_allclose(a, l["w"], rtol=1e-4, atol=1e-6)
+    for a, l in zip(gk[1], go[0]):
+        np.testing.assert_allclose(a, l["b"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(gk[2], go[1], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(gk[3], go[2], rtol=1e-4, atol=1e-6)
+
+
+def test_relu_slope_variant(setup):
+    layers, ws, bs, x, h, nodes, ccw = setup
+    z_k = fused_cc_integral(
+        ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True, neg_slope=0.0
+    )
+    z_o = oracle(layers, x, h, neg_slope=0.0)
+    np.testing.assert_allclose(z_k, z_o, rtol=1e-5, atol=1e-6)
+
+
+def test_negative_endpoints(setup):
+    """x < 0 integrates backwards (z negative for positive integrand)."""
+    layers, ws, bs, _, h, nodes, ccw = setup
+    x = -jax.random.uniform(jax.random.PRNGKey(3), (3, 2), minval=0.3, maxval=1.5)
+    z_k = fused_cc_integral(ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True)
+    z_o = oracle(layers, x, h)
+    np.testing.assert_allclose(z_k, z_o, rtol=1e-5, atol=1e-6)
+    assert (np.asarray(z_k) < 0).all()
+
+
+def test_model_level_pallas_backend_matches_xla():
+    """UMNNMAF with backend='pallas' (interpret on CPU) == backend='xla'."""
+    from umnn_tpu.models.umnn_maf import UMNNMAF
+
+    cfg = dict(
+        input_size=3,
+        embedding_s=4,
+        hidden_embedding=(16, 16),
+        hidden_derivative=(16, 16),
+        nb_steps=8,
+    )
+    m_x = UMNNMAF(backend="xla", **cfg)
+    m_p = UMNNMAF(backend="pallas", **cfg)
+    params = m_x.init(jax.random.PRNGKey(4))
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 3)) * 0.5
+    z_x = m_x.forward(params, x)
+    z_p = m_p.forward(params, x)
+    np.testing.assert_allclose(z_p, z_x, rtol=1e-5, atol=1e-6)
+
+    gx = jax.grad(lambda p: -jnp.mean(m_x.compute_ll(p, x)[0]))(params)
+    gp = jax.grad(lambda p: -jnp.mean(m_p.compute_ll(p, x)[0]))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)

@@ -1,0 +1,133 @@
+"""Checkpoint/resume with best-k policies (Orbax-backed).
+
+Replicates the reference's checkpoint behaviors (SURVEY.md §5.4):
+periodic snapshots, best-valid / best-train / best-train-valid tracking
+(`UCIExperiments.py:172-189`), loss-history as the resume cursor
+(`UCIExperiments.py:116-122`), and — unlike most of the reference's
+scripts — always includes the optimizer state (`ToyExperiments.py:131-136`
+is the only reference path that saves it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:  # orbax is in the baked image; gate anyway for portability
+    import orbax.checkpoint as ocp
+
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+@dataclasses.dataclass
+class CheckpointManager:
+    """Save/restore (params, opt_state, step, history) with best-k tags."""
+
+    directory: str | Path
+    max_to_keep: int = 5
+
+    def __post_init__(self):
+        self.directory = Path(self.directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        if _HAVE_ORBAX:
+            self._mngr = ocp.CheckpointManager(
+                self.directory / "steps",
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.max_to_keep, create=True
+                ),
+            )
+        self._history_path = self.directory / "history.json"
+
+    # --- core save/restore --------------------------------------------------
+
+    def save(self, step: int, params: Any, opt_state: Any, history: Optional[dict] = None):
+        state = {"params": params, "opt_state": opt_state}
+        if _HAVE_ORBAX:
+            self._mngr.save(step, args=ocp.args.StandardSave(state))
+            self._mngr.wait_until_finished()
+        else:  # pragma: no cover
+            self._numpy_save(self.directory / "steps" / str(step), state)
+        if history is not None:
+            self._history_path.write_text(json.dumps(history))
+
+    def restore(self, step: Optional[int] = None, template: Any = None):
+        if _HAVE_ORBAX:
+            step = step if step is not None else self._mngr.latest_step()
+            if step is None:
+                return None
+            if template is not None:
+                restored = self._mngr.restore(
+                    step,
+                    args=ocp.args.StandardRestore(template),
+                )
+            else:
+                restored = self._mngr.restore(step)
+            return step, restored["params"], restored["opt_state"]
+        return None  # pragma: no cover
+
+    def latest_step(self) -> Optional[int]:
+        if _HAVE_ORBAX:
+            return self._mngr.latest_step()
+        return None  # pragma: no cover
+
+    def load_history(self) -> dict:
+        """The loss history doubles as the resume cursor
+        (`UCIExperiments.py:116-122` semantics: cur_epoch = len(test_losses))."""
+        if self._history_path.exists():
+            return json.loads(self._history_path.read_text())
+        return {"train": [], "valid": [], "test": []}
+
+    # --- best-k tagged snapshots (`UCIExperiments.py:172-180`) --------------
+
+    def save_best(self, tag: str, params: Any):
+        path = self.directory / f"best_{tag}"
+        self._numpy_save(path, {"params": params})
+
+    def load_best(self, tag: str, template: Any):
+        path = self.directory / f"best_{tag}"
+        if not (path / "arrays.npz").exists():
+            return None
+        return self._numpy_load(path, {"params": template})["params"]
+
+    # --- flat numpy fallback ------------------------------------------------
+
+    @staticmethod
+    def _numpy_save(path: Path, tree: Any):
+        path.mkdir(parents=True, exist_ok=True)
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        np.savez(path / "arrays.npz", *[np.asarray(x) for x in leaves])
+        (path / "treedef.txt").write_text(str(treedef))
+
+    @staticmethod
+    def _numpy_load(path: Path, template: Any):
+        leaves, treedef = jax.tree_util.tree_flatten(template)
+        with np.load(path / "arrays.npz") as data:
+            loaded = [data[k] for k in data.files]
+        return jax.tree_util.tree_unflatten(treedef, loaded)
+
+
+@dataclasses.dataclass
+class BestTracker:
+    """Track best-valid / best-train / best-train-valid checkpoints
+    (the reference's three-way policy, `UCIExperiments.py:172-180`)."""
+
+    manager: CheckpointManager
+    best_train: float = float("inf")
+    best_valid: float = float("inf")
+
+    def update(self, train_loss: float, valid_loss: float, params: Any):
+        if train_loss < self.best_train:
+            self.best_train = train_loss
+            self.manager.save_best("train", params)
+            if valid_loss < self.best_valid:
+                self.manager.save_best("train_valid", params)
+        if valid_loss < self.best_valid:
+            self.best_valid = valid_loss
+            self.manager.save_best("valid", params)

@@ -1,0 +1,180 @@
+"""784-d (optionally class-conditional) MNIST density estimation with UMNN-MAF.
+
+Framework equivalent of the reference driver `MNISTExperiment.py` (CLI
+defaults from `MNISTExperiment.py:228-263`): nb_flow 5, hidden_embedding
+[1024,1024,1024], hidden_derivative [100,50,50,50,50], batch 100, logit-
+dequantized inputs, bits-per-pixel evaluation (`UMNNMAF.py:164-170` with
+its computeLL typo fixed), generation via bisection inversion + logit_back
+(`MNISTExperiment.py:180-196`).
+
+Usage:
+    python examples/train_mnist.py -nb_epoch 2 -synthetic
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from umnn_tpu.data.images import load_mnist_flow, logit_back
+from umnn_tpu.models.flow import UMNNMAFFlow
+from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
+from umnn_tpu.training.checkpoint import BestTracker, CheckpointManager
+from umnn_tpu.training.loops import batch_iter, make_optimizer
+from umnn_tpu.utils.logging import MetricsWriter, get_logger
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-nb_epoch", type=int, default=500)
+    p.add_argument("-nb_flow", type=int, default=5)
+    p.add_argument("-nb_steps", type=int, default=50)
+    p.add_argument("-embedding_s", type=int, default=30)
+    p.add_argument("-hidden_embedding", type=int, nargs="+", default=[1024, 1024, 1024])
+    p.add_argument(
+        "-hidden_derivative", type=int, nargs="+", default=[100, 50, 50, 50, 50]
+    )
+    p.add_argument("-b_size", type=int, default=100)
+    p.add_argument("-lr", type=float, default=1e-3)
+    p.add_argument("-wd", type=float, default=1e-2)
+    p.add_argument("-conditionnal", action="store_true", help="class-conditional")
+    p.add_argument("-gen", type=int, default=0, help="generate N images at the end")
+    p.add_argument("-nb_iter", type=int, default=10, help="inversion iterations")
+    p.add_argument("-temperature", type=float, default=0.5)
+    p.add_argument("-steps_per_epoch", type=int, default=0)
+    p.add_argument("-seed", type=int, default=0)
+    p.add_argument("-folder", default="runs/mnist")
+    p.add_argument("-synthetic", action="store_true")
+    args = p.parse_args()
+
+    folder = Path(args.folder)
+    folder.mkdir(parents=True, exist_ok=True)
+    logger = get_logger("mnist", folder / "train.log")
+    metrics = MetricsWriter(folder / "metrics.jsonl")
+    (folder / "args.json").write_text(json.dumps(vars(args)))
+
+    data = load_mnist_flow(synthetic=True if args.synthetic else None)
+    logger.info(
+        "mnist flow: train=%d valid=%d test=%d", len(data.trn_x), len(data.val_x),
+        len(data.tst_x),
+    )
+
+    cond_in = 10 if args.conditionnal else 0
+    model = UMNNMAFFlow(
+        nb_flow=args.nb_flow,
+        nb_in=784,
+        hidden_derivative=tuple(args.hidden_derivative),
+        hidden_embedding=tuple(args.hidden_embedding),
+        embedding_s=args.embedding_s,
+        nb_steps=args.nb_steps,
+        cond_in=cond_in,
+    )
+    params = model.init(jax.random.PRNGKey(args.seed))
+    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+    logger.info("params: %d  devices: %s", n_params, jax.devices())
+
+    optimizer = make_optimizer("adam", lr=args.lr, weight_decay=args.wd, grad_clip=1.0)
+    opt_state = optimizer.init(params)
+    mesh = data_mesh()
+    rep, shd = replicated(mesh), batch_sharded(mesh)
+
+    def onehot(y):
+        return jax.nn.one_hot(y, 10) if args.conditionnal else None
+
+    def loss_fn(prm, x, y):
+        ll, _ = model.compute_ll(prm, x, context=onehot(y))
+        return -jnp.mean(ll)
+
+    def bpp_fn(prm, x, y):
+        bpp, ll, _ = model.compute_bpp(prm, x, context=onehot(y))
+        return jnp.mean(bpp)
+
+    def _step(prm, st, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(prm, x, y)
+        updates, st = optimizer.update(grads, st, prm)
+        return optax.apply_updates(prm, updates), st, loss
+
+    train_step = jax.jit(
+        _step,
+        in_shardings=(rep, rep, shd, shd),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+    eval_bpp = jax.jit(bpp_fn, in_shardings=(rep, shd, shd), out_shardings=rep)
+
+    ckpt = CheckpointManager(folder / "ckpt")
+    best = BestTracker(ckpt)
+    rng = np.random.RandomState(args.seed + 1)
+
+    def eval_split(x, y):
+        tot, n = 0.0, 0
+        for xb, yb in zip(
+            batch_iter(x, args.b_size, rng, shuffle=False),
+            batch_iter(y, args.b_size, rng, shuffle=False),
+        ):
+            tot += float(eval_bpp(params, jnp.asarray(xb), jnp.asarray(yb)))
+            n += 1
+        return tot / max(n, 1)
+
+    for epoch in range(args.nb_epoch):
+        t0 = time.time()
+        perm = rng.permutation(len(data.trn_x))
+        losses = []
+        for i in range(0, len(perm), args.b_size):
+            if args.steps_per_epoch and i // args.b_size >= args.steps_per_epoch:
+                break
+            sel = perm[i : i + args.b_size]
+            if len(sel) < args.b_size:
+                break
+            params, opt_state, loss = train_step(
+                params, opt_state,
+                jnp.asarray(data.trn_x[sel]), jnp.asarray(data.trn_y[sel]),
+            )
+            losses.append(float(loss))
+        train_nll = float(np.mean(losses))
+        valid_bpp = eval_split(data.val_x, data.val_y)
+        metrics.scalar("train_nll", train_nll, epoch)
+        metrics.scalar("valid_bpp", valid_bpp, epoch)
+        best.update(train_nll, valid_bpp, params)
+        if epoch % 5 == 0:
+            ckpt.save(epoch, params, opt_state)
+        logger.info(
+            "epoch %3d  train NLL %.1f  valid bpp %.4f  (%.1fs)",
+            epoch, train_nll, valid_bpp, time.time() - t0,
+        )
+
+    best_params = ckpt.load_best("valid", params)
+    if best_params is not None:
+        params = best_params
+    test_bpp = eval_split(data.tst_x, data.tst_y)
+    logger.info("FINAL test bpp: %.4f", test_bpp)
+    print(json.dumps({"test_bpp": test_bpp}))
+
+    if args.gen > 0:
+        # generation: z ~ N(0, T) -> invert -> logit_back (`MNISTExperiment.py:180-196`)
+        key = jax.random.PRNGKey(args.seed + 3)
+        z = jax.random.normal(key, (args.gen, 784)) * args.temperature
+        ctx = (
+            jax.nn.one_hot(jnp.arange(args.gen) % 10, 10)
+            if args.conditionnal
+            else None
+        )
+        t0 = time.time()
+        x = model.invert(params, z, iters=args.nb_iter, context=ctx)
+        imgs = logit_back(np.asarray(x)).reshape(-1, 28, 28)
+        np.save(folder / "generated.npy", imgs)
+        logger.info("generated %d images in %.1fs -> %s", args.gen,
+                    time.time() - t0, folder / "generated.npy")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,193 @@
+"""UMNN-MAF density estimation on the UCI tabular suite.
+
+Framework equivalent of the reference driver `UCIExperiments.py` (CLI
+defaults replicated from its argparse, `UCIExperiments.py:196-217`):
+nb_flow 5, hidden_embedding [512,512], hidden_derivative [50,50,50,50],
+embedding 30, CC steps 50, Adam lr 1e-3 wd 1e-2, batch 500, grad clip 1.0.
+
+TPU-first redesign of the loop:
+* ONE jitted SPMD train step for every step count — randomized-steps mode
+  (steps <= 0 -> nb_steps ~ 2*U{5,50} per batch, `UCIExperiments.py:130-132`)
+  feeds zero-padded quadrature nodes/weights as runtime arrays instead of
+  retracing per count;
+* batch axis sharded over the device mesh; gradients all-reduced by XLA;
+* ReduceLROnPlateau on validation loss (`UCIExperiments.py:86-87`),
+  best-valid/best-train/best-train-valid checkpoints + loss-history resume
+  cursor (`UCIExperiments.py:116-189`).
+
+Usage:
+    python examples/train_uci.py -data power -nb_epoch 5
+(data files absent -> seeded synthetic stand-in with the right dims)
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from umnn_tpu.data.uci import UCI_DIMS, load_uci
+from umnn_tpu.models.flow import UMNNMAFFlow
+from umnn_tpu.ops.quadrature import padded_cc_quadrature
+from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
+from umnn_tpu.training.checkpoint import BestTracker, CheckpointManager
+from umnn_tpu.training.loops import (
+    ReduceLROnPlateau,
+    batch_iter,
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+)
+from umnn_tpu.utils.logging import MetricsWriter, get_logger
+
+MAX_STEPS = 100  # randomized mode draws 2*U{5,50} -> max 100
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-data", default="power", choices=sorted(UCI_DIMS))
+    p.add_argument("-nb_epoch", type=int, default=500)
+    p.add_argument("-nb_flow", type=int, default=5)
+    p.add_argument("-nb_steps", type=int, default=50, help="<=0 for randomized")
+    p.add_argument("-embedding_s", type=int, default=30)
+    p.add_argument("-hidden_embedding", type=int, nargs="+", default=[512, 512])
+    p.add_argument("-hidden_derivative", type=int, nargs="+", default=[50, 50, 50, 50])
+    p.add_argument("-b_size", type=int, default=500)
+    p.add_argument("-lr", type=float, default=1e-3)
+    p.add_argument("-wd", type=float, default=1e-2)
+    p.add_argument("-seed", type=int, default=0)
+    p.add_argument("-folder", default="runs/uci")
+    p.add_argument("-load", action="store_true", help="resume from checkpoint")
+    p.add_argument("-steps_per_epoch", type=int, default=0, help="0 = full epoch")
+    p.add_argument("-synthetic", action="store_true")
+    args = p.parse_args()
+
+    folder = Path(args.folder) / args.data
+    folder.mkdir(parents=True, exist_ok=True)
+    logger = get_logger("uci", folder / "train.log", source_file=__file__)
+    metrics = MetricsWriter(folder / "metrics.jsonl")
+    (folder / "args.json").write_text(json.dumps(vars(args)))
+
+    data = load_uci(args.data, synthetic=True if args.synthetic else None)
+    logger.info(
+        "dataset %s: dims=%d train=%d valid=%d test=%d",
+        data.name, data.n_dims, len(data.trn), len(data.val), len(data.tst),
+    )
+
+    random_steps = args.nb_steps <= 0
+    eval_steps = 100 if random_steps else args.nb_steps
+    model = UMNNMAFFlow(
+        nb_flow=args.nb_flow,
+        nb_in=data.n_dims,
+        hidden_derivative=tuple(args.hidden_derivative),
+        hidden_embedding=tuple(args.hidden_embedding),
+        embedding_s=args.embedding_s,
+        nb_steps=eval_steps,
+    )
+    params = model.init(jax.random.PRNGKey(args.seed))
+    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+    logger.info("model params: %d  devices: %s", n_params, jax.devices())
+
+    optimizer = make_optimizer("adam", lr=args.lr, weight_decay=args.wd, grad_clip=1.0)
+    opt_state = optimizer.init(params)
+    mesh = data_mesh()
+    rep, shd = replicated(mesh), batch_sharded(mesh)
+
+    def loss_fn(prm, batch, nodes, weights):
+        ll, _ = model.compute_ll(prm, batch, nodes=nodes, weights=weights)
+        return -jnp.mean(ll)
+
+    import optax
+
+    def _step(prm, opt_st, batch, nodes, weights):
+        loss, grads = jax.value_and_grad(loss_fn)(prm, batch, nodes, weights)
+        updates, opt_st = optimizer.update(grads, opt_st, prm)
+        return optax.apply_updates(prm, updates), opt_st, loss
+
+    train_step = jax.jit(
+        _step,
+        in_shardings=(rep, rep, shd, rep, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+    eval_step = jax.jit(
+        loss_fn, in_shardings=(rep, shd, rep, rep), out_shardings=rep
+    )
+    eval_nodes, eval_weights = padded_cc_quadrature(eval_steps, MAX_STEPS)
+
+    ckpt = CheckpointManager(folder / "ckpt")
+    best = BestTracker(ckpt)
+    plateau = ReduceLROnPlateau()
+    history = ckpt.load_history() if args.load else {"train": [], "valid": [], "test": []}
+    start_epoch = len(history["valid"])  # loss-history resume cursor
+    if args.load and ckpt.latest_step() is not None:
+        restored = ckpt.restore(
+            template={"params": params, "opt_state": opt_state}
+        )
+        if restored is not None:
+            _, params, opt_state = restored
+            logger.info("resumed at epoch %d", start_epoch)
+
+    rng = np.random.RandomState(args.seed + 1)
+    lr = args.lr
+
+    def eval_split(x):
+        tot, n = 0.0, 0
+        for b in batch_iter(x, args.b_size, rng, shuffle=False):
+            tot += float(eval_step(params, jnp.asarray(b), eval_nodes, eval_weights))
+            n += 1
+        return tot / max(n, 1)
+
+    for epoch in range(start_epoch, args.nb_epoch):
+        t0 = time.time()
+        losses = []
+        for i, b in enumerate(batch_iter(data.trn, args.b_size, rng)):
+            if args.steps_per_epoch and i >= args.steps_per_epoch:
+                break
+            if random_steps:
+                n_steps = 2 * rng.randint(5, 51)
+            else:
+                n_steps = args.nb_steps
+            nodes, weights = padded_cc_quadrature(n_steps, MAX_STEPS)
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(b), nodes, weights
+            )
+            losses.append(float(loss))
+        train_nll = float(np.mean(losses))
+        valid_nll = eval_split(data.val)
+        history["train"].append(train_nll)
+        history["valid"].append(valid_nll)
+        metrics.scalar("train_nll", train_nll, epoch)
+        metrics.scalar("valid_nll", valid_nll, epoch)
+        best.update(train_nll, valid_nll, params)
+        new_lr = plateau.update(valid_nll, lr)
+        if new_lr != lr:
+            lr = new_lr
+            opt_state = set_learning_rate(opt_state, lr)
+            logger.info("epoch %d: lr -> %g", epoch, lr)
+        if epoch % 5 == 0:
+            ckpt.save(epoch, params, opt_state, history)
+        logger.info(
+            "epoch %3d  train NLL %.4f  valid NLL %.4f  lr %g  (%.1fs)",
+            epoch, train_nll, valid_nll, lr, time.time() - t0,
+        )
+
+    best_params = ckpt.load_best("valid", params)
+    if best_params is not None:
+        params = best_params
+    test_nll = eval_split(data.tst)
+    history["test"].append(test_nll)
+    ckpt.save(args.nb_epoch, params, opt_state, history)
+    logger.info("FINAL test NLL (best-valid params): %.4f", test_nll)
+    print(json.dumps({"dataset": data.name, "test_nll": test_nll}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

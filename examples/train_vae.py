@@ -1,0 +1,200 @@
+"""VAE training with a normalizing-flow posterior (incl. the UMNN MMAF).
+
+Framework equivalent of the reference driver `TrainVaeFlow.py` +
+`models/vae_lib/optimization/training.py`: Adamax(5e-4, eps 1e-7), beta
+warmup ``min(epoch/warmup, max_beta)`` (`training.py:21`), early stopping
+with patience (`TrainVaeFlow.py:265-292`), NaN guard raising on non-finite
+validation loss (`:291-292`), optional Lipschitz projection for MMAF
+(`training.py:46-48`), final IWAE evaluation with the Monte-Carlo particle
+axis sharded across the device mesh (`log_likelihood.py:8-60`).
+
+Usage:
+    python examples/train_vae.py -flow MMAF -nb_epoch 3 -synthetic
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from umnn_tpu.data.images import load_vae_dataset
+from umnn_tpu.models.vae import VAE_FAMILIES, calculate_loss
+from umnn_tpu.models.vae.iwae import calculate_likelihood
+from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
+from umnn_tpu.training.checkpoint import CheckpointManager
+from umnn_tpu.training.loops import batch_iter, make_optimizer
+from umnn_tpu.utils.logging import MetricsWriter, get_logger
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-dataset", default="mnist", choices=["mnist", "freyfaces", "omniglot", "caltech"])
+    p.add_argument("-flow", default="no_flow", choices=sorted(VAE_FAMILIES))
+    p.add_argument("-nb_epoch", type=int, default=2000)
+    p.add_argument("-z_size", type=int, default=64)
+    p.add_argument("-num_flows", type=int, default=4)
+    p.add_argument("-made_h_size", type=int, default=320)
+    p.add_argument("-num_ortho_vecs", type=int, default=32)
+    p.add_argument("-num_householder", type=int, default=8)
+    p.add_argument("-hidden_embedding", type=int, nargs="+", default=[512, 512])
+    p.add_argument("-hidden_derivative", type=int, nargs="+", default=[100, 50, 50, 50])
+    p.add_argument("-embedding_size", type=int, default=30)
+    p.add_argument("-steps", type=int, default=50)
+    p.add_argument("-lr", type=float, default=5e-4)
+    p.add_argument("-b_size", type=int, default=100)
+    p.add_argument("-warmup", type=int, default=100)
+    p.add_argument("-max_beta", type=float, default=1.0)
+    p.add_argument("-early_stopping_epochs", type=int, default=35)
+    p.add_argument("-Lipshitz", type=float, default=0.0)
+    p.add_argument("-iwae_samples", type=int, default=5000)
+    p.add_argument("-iwae_minibatch", type=int, default=500)
+    p.add_argument("-iwae_test_points", type=int, default=0, help="0 = all")
+    p.add_argument("-seed", type=int, default=0)
+    p.add_argument("-folder", default="runs/vae")
+    p.add_argument("-synthetic", action="store_true")
+    args = p.parse_args()
+
+    folder = Path(args.folder) / f"{args.dataset}_{args.flow}"
+    folder.mkdir(parents=True, exist_ok=True)
+    logger = get_logger("vae", folder / "train.log")
+    metrics = MetricsWriter(folder / "metrics.jsonl")
+    (folder / "args.json").write_text(json.dumps(vars(args)))
+
+    data = load_vae_dataset(args.dataset, synthetic=True if args.synthetic else None)
+    c, hh, ww = data.input_size
+    logger.info(
+        "dataset %s (%s): %s train=%d valid=%d test=%d",
+        args.dataset, data.input_type, data.input_size,
+        len(data.trn), len(data.val), len(data.tst),
+    )
+
+    kw = dict(z_size=args.z_size, input_size=data.input_size, input_type=data.input_type)
+    fam = args.flow
+    if fam == "planar":
+        kw["num_flows"] = args.num_flows
+    elif fam == "orthogonal":
+        kw.update(num_flows=args.num_flows, num_ortho_vecs=args.num_ortho_vecs)
+    elif fam == "householder":
+        kw.update(num_flows=args.num_flows, num_householder=args.num_householder)
+    elif fam == "triangular":
+        kw["num_flows"] = args.num_flows
+    elif fam == "iaf":
+        kw.update(num_flows=args.num_flows, made_h_size=args.made_h_size)
+    elif fam == "MMAF":
+        kw.update(
+            num_flows=args.num_flows,
+            made_h_size=args.made_h_size,
+            hidden_derivative=tuple(args.hidden_derivative),
+            hidden_embedding=tuple(args.hidden_embedding),
+            embedding_size=args.embedding_size,
+            nb_steps=args.steps if args.steps > 0 else 50,
+        )
+    model = VAE_FAMILIES[fam](**kw)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+    logger.info("model %s params: %d devices: %s", fam, n_params, jax.devices())
+
+    optimizer = make_optimizer("adamax", lr=args.lr, grad_clip=None)
+    opt_state = optimizer.init(params)
+    mesh = data_mesh()
+    rep, shd = replicated(mesh), batch_sharded(mesh)
+
+    def loss_fn(prm, batch, rng, beta):
+        x = batch.reshape(-1, c, hh, ww)
+        x_mean, z_mu, z_var, ldj, z0, zk = model.apply(prm, x, rng)
+        loss, rec, kl = calculate_loss(
+            x_mean, x, z_mu, z_var, z0, zk, ldj,
+            data.input_type, data.input_size, beta,
+        )
+        return loss, (rec, kl)
+
+    def _step(prm, opt_st, batch, rng, beta):
+        (loss, (rec, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            prm, batch, rng, beta
+        )
+        updates, opt_st = optimizer.update(grads, opt_st, prm)
+        return optax.apply_updates(prm, updates), opt_st, loss, rec, kl
+
+    train_step = jax.jit(
+        _step,
+        in_shardings=(rep, rep, shd, rep, rep),
+        out_shardings=(rep, rep, rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+    eval_step = jax.jit(
+        lambda prm, batch, rng: loss_fn(prm, batch, rng, 1.0)[0],
+        in_shardings=(rep, shd, rep),
+        out_shardings=rep,
+    )
+
+    ckpt = CheckpointManager(folder / "ckpt")
+    rng_np = np.random.RandomState(args.seed + 1)
+    key = jax.random.PRNGKey(args.seed + 2)
+    best_valid, patience, best_params = float("inf"), 0, params
+
+    for epoch in range(args.nb_epoch):
+        t0 = time.time()
+        beta = min(
+            (epoch + 1) * 1.0 / max(args.warmup, 1), args.max_beta
+        )  # beta-warmup (`training.py:21`)
+        losses = []
+        for b in batch_iter(data.trn, args.b_size, rng_np):
+            key, k = jax.random.split(key)
+            params, opt_state, loss, rec, kl = train_step(
+                params, opt_state, jnp.asarray(b), k, jnp.float32(beta)
+            )
+            losses.append(float(loss))
+        if fam == "MMAF" and args.Lipshitz > 0:
+            key, k = jax.random.split(key)
+            params = model.force_lipschitz(params, k, args.Lipshitz)
+        vloss = []
+        for b in batch_iter(data.val, args.b_size, rng_np, shuffle=False):
+            key, k = jax.random.split(key)
+            vloss.append(float(eval_step(params, jnp.asarray(b), k)))
+        train_loss, valid_loss = float(np.mean(losses)), float(np.mean(vloss))
+        if not np.isfinite(valid_loss):
+            raise ValueError(f"NaN/inf validation loss at epoch {epoch}")
+        metrics.scalar("train_loss", train_loss, epoch)
+        metrics.scalar("valid_loss", valid_loss, epoch)
+        logger.info(
+            "epoch %3d  beta %.3f  train %.2f  valid %.2f  (%.1fs)",
+            epoch, beta, train_loss, valid_loss, time.time() - t0,
+        )
+        if valid_loss < best_valid:
+            best_valid, patience, best_params = valid_loss, 0, params
+            ckpt.save_best("valid", params)
+        elif args.warmup < epoch:
+            patience += 1
+            if patience > args.early_stopping_epochs:
+                logger.info("early stopping at epoch %d", epoch)
+                break
+
+    # final IWAE test log-likelihood, particle axis sharded over the mesh
+    tst = data.tst
+    if args.iwae_test_points:
+        tst = tst[: args.iwae_test_points]
+    tst = tst.reshape(-1, c, hh, ww)
+    key, k = jax.random.split(key)
+    n_s = args.iwae_samples if args.dataset != "caltech" else 2000
+    ll_mean, _ = calculate_likelihood(
+        model, best_params, tst, k, n_samples=n_s,
+        minibatch=args.iwae_minibatch, mesh=mesh,
+    )
+    logger.info("FINAL test IWAE ll: %.4f (S=%d)", ll_mean, n_s)
+    print(json.dumps({
+        "dataset": args.dataset, "flow": fam,
+        "best_valid_elbo": best_valid, "test_iwae_ll": ll_mean,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,238 @@
+"""Image datasets: MNIST flow pipeline + VAE image loaders.
+
+Reference semantics:
+* `lib/transform.py:5-20` — uniform-noise dequantization + logit transform
+  ``logit((x*255 + u)/256)`` and its inverse for the MNIST flow;
+* `lib/dataloader.py:34-131` — MNIST with 50k/10k train/valid split;
+* `models/vae_lib/utils/load_data.py:13-205` — static binarized MNIST
+  (.amat), Freyfaces (seeded 1565/200/200 split), Omniglot (dynamic
+  binarization), Caltech101 Silhouettes.
+
+All loaders are numpy-only and gated on file presence under
+``$UMNN_DATA_ROOT`` (the datasets are not redistributable and this box has
+no egress); ``synthetic=True`` produces seeded stand-ins with correct
+shapes so the full pipeline runs anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import os
+import struct
+from pathlib import Path
+
+import numpy as np
+
+DEFAULT_ROOT = Path(os.environ.get("UMNN_DATA_ROOT", "datasets/data"))
+
+ALPHA = 1e-6  # logit-transform guard (`lib/transform.py`, MNISTExperiment)
+
+
+# --- dequantization / logit transform (`lib/transform.py:5-20`) ---------------
+
+
+def add_uniform_noise_and_logit(x_uint8: np.ndarray, rng: np.random.RandomState):
+    """uint8 image -> dequantized logit space: logit((x + u)/256)."""
+    x = (x_uint8.astype(np.float64) + rng.rand(*x_uint8.shape)) / 256.0
+    x = ALPHA + (1 - 2 * ALPHA) * x
+    return np.log(x / (1.0 - x)).astype(np.float32)
+
+
+def logit_back(x: np.ndarray) -> np.ndarray:
+    """Inverse: logit space -> [0,1] pixel space (`lib/transform.py:9-11`)."""
+    s = 1.0 / (1.0 + np.exp(-np.asarray(x, np.float64)))
+    return ((s - ALPHA) / (1 - 2 * ALPHA)).astype(np.float32)
+
+
+# --- raw MNIST (idx format) ----------------------------------------------------
+
+
+def _read_idx(path: Path) -> np.ndarray:
+    opener = gzip.open if path.suffix == ".gz" else open
+    with opener(path, "rb") as f:
+        magic, = struct.unpack(">I", f.read(4))
+        ndim = magic & 0xFF
+        shape = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        return np.frombuffer(f.read(), dtype=np.uint8).reshape(shape)
+
+
+def load_mnist_raw(root: Path = DEFAULT_ROOT):
+    """(train_images [60000,28,28] uint8, train_labels, test_images, test_labels)."""
+    d = root / "mnist"
+    names = [
+        "train-images-idx3-ubyte",
+        "train-labels-idx1-ubyte",
+        "t10k-images-idx3-ubyte",
+        "t10k-labels-idx1-ubyte",
+    ]
+    out = []
+    for n in names:
+        p = d / n
+        if not p.exists():
+            p = d / (n + ".gz")
+        if not p.exists():
+            raise FileNotFoundError(p)
+        out.append(_read_idx(p))
+    return tuple(out)
+
+
+@dataclasses.dataclass
+class FlowImageData:
+    """Logit-dequantized MNIST splits for the 784-d flow (labels kept for
+    the class-conditional path, `MNISTExperiment.py:144-148`)."""
+
+    trn_x: np.ndarray
+    trn_y: np.ndarray
+    val_x: np.ndarray
+    val_y: np.ndarray
+    tst_x: np.ndarray
+    tst_y: np.ndarray
+
+
+def load_mnist_flow(
+    root: Path = DEFAULT_ROOT, seed: int = 0, synthetic: bool | None = None
+) -> FlowImageData:
+    """MNIST for density estimation: logit-dequantized, flattened 784-d,
+    50k/10k train/valid split (`lib/dataloader.py:100-118`)."""
+    rng = np.random.RandomState(seed)
+    try:
+        if synthetic is True:
+            raise FileNotFoundError
+        tr_x, tr_y, te_x, te_y = load_mnist_raw(root)
+    except FileNotFoundError:
+        if synthetic is False:
+            raise
+        tr_x = rng.randint(0, 256, (1200, 28, 28)).astype(np.uint8)
+        tr_y = rng.randint(0, 10, 1200)
+        te_x = rng.randint(0, 256, (200, 28, 28)).astype(np.uint8)
+        te_y = rng.randint(0, 10, 200)
+    n_train = min(50000, int(len(tr_x) * 5 / 6))
+    trn = add_uniform_noise_and_logit(tr_x[:n_train].reshape(-1, 784), rng)
+    val = add_uniform_noise_and_logit(tr_x[n_train:].reshape(-1, 784), rng)
+    tst = add_uniform_noise_and_logit(te_x.reshape(-1, 784), rng)
+    return FlowImageData(
+        trn, tr_y[:n_train], val, tr_y[n_train:], tst, te_y
+    )
+
+
+# --- VAE image loaders (`vae_lib/utils/load_data.py`) --------------------------
+
+
+@dataclasses.dataclass
+class VAEImageData:
+    trn: np.ndarray  # [N, C*H*W] float32 in [0,1]
+    val: np.ndarray
+    tst: np.ndarray
+    input_size: tuple[int, ...]
+    input_type: str  # 'binary' or 'multinomial'
+
+
+def _synthetic_images(input_size, input_type, seed=0, n=(600, 100, 100)):
+    rng = np.random.RandomState(seed)
+    c, h, w = input_size
+    outs = []
+    for count in n:
+        x = rng.rand(count, c * h * w)
+        if input_type == "binary":
+            x = (x > 0.5).astype(np.float32)
+        else:
+            x = (np.floor(x * 256) / 255.0).astype(np.float32)
+        outs.append(x)
+    return VAEImageData(*outs, tuple(input_size), input_type)
+
+
+def load_static_mnist(root=DEFAULT_ROOT, synthetic=None) -> VAEImageData:
+    """Larochelle's static binarized MNIST from .amat files
+    (`load_data.py:13-54`)."""
+    d = Path(root) / "mnist_static"
+    files = {
+        "trn": "binarized_mnist_train.amat",
+        "val": "binarized_mnist_valid.amat",
+        "tst": "binarized_mnist_test.amat",
+    }
+    if synthetic is True or not (d / files["trn"]).exists():
+        if synthetic is False:
+            raise FileNotFoundError(d / files["trn"])
+        return _synthetic_images((1, 28, 28), "binary")
+    splits = {
+        k: np.loadtxt(d / v, dtype=np.float32) for k, v in files.items()
+    }
+    return VAEImageData(
+        splits["trn"], splits["val"], splits["tst"], (1, 28, 28), "binary"
+    )
+
+
+def load_freyfaces(root=DEFAULT_ROOT, seed=123, synthetic=None) -> VAEImageData:
+    """Freyfaces: seeded shuffle, 1565/200/200 split, values scaled to [0,1]
+    (`load_data.py:57-100`; input_type multinomial)."""
+    p = Path(root) / "freyfaces" / "freyfaces.pkl"
+    if synthetic is True or not p.exists():
+        if synthetic is False:
+            raise FileNotFoundError(p)
+        return _synthetic_images((1, 28, 20), "multinomial")
+    import pickle
+
+    with open(p, "rb") as f:
+        data = pickle.load(f, encoding="latin1")[0]
+    data = (data / 256.0).astype(np.float32)
+    np.random.RandomState(seed).shuffle(data)
+    return VAEImageData(
+        data[:1565], data[1565:1765], data[1765:1965], (1, 28, 20), "multinomial"
+    )
+
+
+def load_omniglot(root=DEFAULT_ROOT, seed=0, synthetic=None) -> VAEImageData:
+    """Omniglot with a fixed binarization draw (the reference binarizes
+    dynamically per epoch, `load_data.py:103-152`; we expose the real-valued
+    array and let the input pipeline re-binarize per batch)."""
+    p = Path(root) / "omniglot" / "chardata.mat"
+    if synthetic is True or not p.exists():
+        if synthetic is False:
+            raise FileNotFoundError(p)
+        return _synthetic_images((1, 28, 28), "binary")
+    from scipy.io import loadmat
+
+    raw = loadmat(p)
+    trn = raw["data"].T.astype(np.float32)
+    tst = raw["testdata"].T.astype(np.float32)
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(len(trn))
+    n_val = 1345
+    return VAEImageData(
+        trn[idx[:-n_val]], trn[idx[-n_val:]], tst, (1, 28, 28), "binary"
+    )
+
+
+def load_caltech(root=DEFAULT_ROOT, synthetic=None) -> VAEImageData:
+    """Caltech101 Silhouettes (`load_data.py:155-188`)."""
+    p = Path(root) / "caltech" / "caltech101_silhouettes_28_split1.mat"
+    if synthetic is True or not p.exists():
+        if synthetic is False:
+            raise FileNotFoundError(p)
+        return _synthetic_images((1, 28, 28), "binary")
+    from scipy.io import loadmat
+
+    raw = loadmat(p)
+    return VAEImageData(
+        raw["train_data"].astype(np.float32),
+        raw["val_data"].astype(np.float32),
+        raw["test_data"].astype(np.float32),
+        (1, 28, 28),
+        "binary",
+    )
+
+
+VAE_DATASETS = {
+    "mnist": load_static_mnist,
+    "freyfaces": load_freyfaces,
+    "omniglot": load_omniglot,
+    "caltech": load_caltech,
+}
+
+
+def load_vae_dataset(name: str, root=DEFAULT_ROOT, synthetic=None) -> VAEImageData:
+    """Dispatcher (`load_data.py:191-205`)."""
+    if name not in VAE_DATASETS:
+        raise ValueError(f"unknown dataset {name}; choose from {sorted(VAE_DATASETS)}")
+    return VAE_DATASETS[name](root=root, synthetic=synthetic)

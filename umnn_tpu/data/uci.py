@@ -1,0 +1,211 @@
+"""UCI tabular datasets with byte-equivalent reference preprocessing.
+
+Reference semantics: `datasets/{power,gas,hepmass,miniboone,bsds300}.py` in
+AWehenkel/UMNN (the MAF preprocessing lineage). NLL parity requires the
+exact splits and normalization, so each loader replicates:
+
+* POWER: seed-42 shuffle, drop columns 3 then 1, add uniform noise
+  (gap 1e-3, voltage 1e-2, sub-metering U[0,1)x3, time 0), 10%/10% tail
+  splits, z-score by train+valid moments (`power.py:30-74`);
+* GAS: drop Meth/Eth/Time, iteratively drop the first column whose
+  |corr| > 0.98 row-count exceeds 1, z-score by full-frame moments, then
+  10%/10% tail splits (`gas.py:39-72`; `.as_matrix()` -> `.to_numpy()`);
+* HEPMASS: keep class-1 rows of 1000_{train,test}.csv, drop the label and
+  the test set's spurious last column, z-score by train moments, drop
+  features whose most-common value repeats > 5 times in train, 10%
+  validation tail (`hepmass.py:42-92`);
+* MINIBOONE: pre-cleaned data.npy, 10%/10% tails, z-score by train+valid
+  moments (`miniboone.py:27-69`);
+* BSDS300: hdf5 patches used as-is (`bsds300.py:7-34`).
+
+Data files live under ``root`` (default ``datasets/data/`` like the
+reference); when absent, ``load_uci(name, synthetic=True)`` produces a
+seeded synthetic stand-in with the correct dimensionality so training,
+tests and benchmarks run without the (non-redistributable) downloads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from collections import Counter
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["TabularData", "UCI_DIMS", "load_uci", "uci_available"]
+
+UCI_DIMS = {"power": 6, "gas": 8, "hepmass": 21, "miniboone": 43, "bsds300": 63}
+
+DEFAULT_ROOT = os.environ.get("UMNN_DATA_ROOT", "datasets/data")
+
+
+@dataclasses.dataclass
+class TabularData:
+    """Train/valid/test float32 arrays (the reference's Data{x,N} pattern)."""
+
+    trn: np.ndarray
+    val: np.ndarray
+    tst: np.ndarray
+    name: str = ""
+
+    @property
+    def n_dims(self) -> int:
+        return self.trn.shape[1]
+
+
+def uci_available(name: str, root: str | Path = DEFAULT_ROOT) -> bool:
+    root = Path(root)
+    paths = {
+        "power": root / "power" / "data.npy",
+        "gas": root / "gas" / "ethylene_CO.pickle",
+        "hepmass": root / "hepmass" / "1000_train.csv",
+        "miniboone": root / "miniboone" / "data.npy",
+        "bsds300": root / "BSDS300" / "BSDS300.hdf5",
+    }
+    return paths[name].exists()
+
+
+def _tail_splits_10_10(data: np.ndarray):
+    n_test = int(0.1 * data.shape[0])
+    test = data[-n_test:]
+    rest = data[:-n_test]
+    n_val = int(0.1 * rest.shape[0])
+    return rest[:-n_val], rest[-n_val:], test
+
+
+def _zscore_by_train_valid(trn, val, tst):
+    joint = np.vstack([trn, val])
+    mu, s = joint.mean(axis=0), joint.std(axis=0)
+    return (trn - mu) / s, (val - mu) / s, (tst - mu) / s
+
+
+def _load_power(root: Path) -> TabularData:
+    rng = np.random.RandomState(42)
+    data = np.load(root / "power" / "data.npy")
+    rng.shuffle(data)
+    n = data.shape[0]
+    data = np.delete(data, 3, axis=1)
+    data = np.delete(data, 1, axis=1)
+    noise = np.hstack(
+        [
+            0.001 * rng.rand(n, 1),  # gap
+            0.01 * rng.rand(n, 1),  # voltage
+            rng.rand(n, 3),  # sub-metering
+            np.zeros((n, 1)),  # time
+        ]
+    )
+    data = data + noise
+    trn, val, tst = _tail_splits_10_10(data)
+    trn, val, tst = _zscore_by_train_valid(trn, val, tst)
+    return TabularData(*(a.astype(np.float32) for a in (trn, val, tst)), "power")
+
+
+def _load_gas(root: Path) -> TabularData:
+    import pandas as pd
+
+    data = pd.read_pickle(root / "gas" / "ethylene_CO.pickle")
+    data = data.drop(columns=["Meth", "Eth", "Time"])
+
+    def corr_counts(df):
+        return (df.corr().abs() > 0.98).to_numpy().sum(axis=1)
+
+    counts = corr_counts(data)
+    while np.any(counts > 1):
+        data = data.drop(columns=[data.columns[np.where(counts > 1)[0][0]]])
+        counts = corr_counts(data)
+    data = ((data - data.mean()) / data.std()).to_numpy()
+    n_test = int(0.1 * data.shape[0])
+    tst = data[-n_test:]
+    rest = data[:-n_test]
+    n_val = int(0.1 * rest.shape[0])
+    trn, val = rest[:-n_val], rest[-n_val:]
+    return TabularData(*(a.astype(np.float32) for a in (trn, val, tst)), "gas")
+
+
+def _load_hepmass(root: Path) -> TabularData:
+    import pandas as pd
+
+    trn = pd.read_csv(root / "hepmass" / "1000_train.csv", index_col=False)
+    tst = pd.read_csv(root / "hepmass" / "1000_test.csv", index_col=False)
+    trn = trn[trn[trn.columns[0]] == 1].drop(columns=[trn.columns[0]])
+    tst = tst[tst[tst.columns[0]] == 1].drop(columns=[tst.columns[0]])
+    tst = tst.drop(columns=[tst.columns[-1]])  # dataset artifact
+    mu, s = trn.mean(), trn.std()
+    trn, tst = ((trn - mu) / s).to_numpy(), ((tst - mu) / s).to_numpy()
+    drop = [
+        i
+        for i, feature in enumerate(trn.T)
+        # most-common value repeating > 5x marks a quasi-discrete feature
+        if np.array(sorted(Counter(feature).items()))[0, 1] > 5
+    ]
+    keep = [i for i in range(trn.shape[1]) if i not in drop]
+    trn, tst = trn[:, keep], tst[:, keep]
+    n_val = int(0.1 * trn.shape[0])
+    trn, val = trn[:-n_val], trn[-n_val:]
+    return TabularData(*(a.astype(np.float32) for a in (trn, val, tst)), "hepmass")
+
+
+def _load_miniboone(root: Path) -> TabularData:
+    data = np.load(root / "miniboone" / "data.npy")
+    trn, val, tst = _tail_splits_10_10(data)
+    trn, val, tst = _zscore_by_train_valid(trn, val, tst)
+    return TabularData(*(a.astype(np.float32) for a in (trn, val, tst)), "miniboone")
+
+
+def _load_bsds300(root: Path) -> TabularData:
+    import h5py
+
+    with h5py.File(root / "BSDS300" / "BSDS300.hdf5", "r") as f:
+        return TabularData(
+            np.asarray(f["train"], np.float32),
+            np.asarray(f["validation"], np.float32),
+            np.asarray(f["test"], np.float32),
+            "bsds300",
+        )
+
+
+def _synthetic(name: str, seed: int = 0) -> TabularData:
+    """Seeded synthetic stand-in (correlated Gaussian mixture) with the real
+    dataset's dimensionality — for tests/benchmarks when files are absent."""
+    d = UCI_DIMS[name]
+    rng = np.random.RandomState(seed)
+    n = 20000
+    mix = rng.randint(0, 3, size=n)
+    centers = rng.randn(3, d) * 2.0
+    A = rng.randn(d, d) * 0.3
+    data = centers[mix] + rng.randn(n, d) @ A
+    trn, val, tst = _tail_splits_10_10(data)
+    trn, val, tst = _zscore_by_train_valid(trn, val, tst)
+    return TabularData(
+        *(a.astype(np.float32) for a in (trn, val, tst)), f"synthetic-{name}"
+    )
+
+
+_LOADERS = {
+    "power": _load_power,
+    "gas": _load_gas,
+    "hepmass": _load_hepmass,
+    "miniboone": _load_miniboone,
+    "bsds300": _load_bsds300,
+}
+
+
+def load_uci(
+    name: str, root: str | Path = DEFAULT_ROOT, synthetic: bool | None = None
+) -> TabularData:
+    """Load a UCI dataset; fall back to the synthetic stand-in when files
+    are missing (synthetic=None -> auto, True -> force, False -> require)."""
+    name = name.lower()
+    if name not in _LOADERS:
+        raise ValueError(f"unknown dataset {name}; choose from {sorted(_LOADERS)}")
+    if synthetic is True:
+        return _synthetic(name)
+    if not uci_available(name, root):
+        if synthetic is False:
+            raise FileNotFoundError(
+                f"{name} files not found under {root}; see "
+                f"reference download_datasets.py for sources"
+            )
+        return _synthetic(name)
+    return _LOADERS[name](Path(root))

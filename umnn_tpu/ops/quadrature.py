@@ -76,12 +76,17 @@ def cc_quadrature(nb_steps: int) -> tuple[np.ndarray, np.ndarray]:
     n = nb_steps
     i = np.arange(n + 1)
     nodes = np.cos(i * np.pi / n)
-    # Chebyshev moments: m_k = 2/(1-k^2) for even k, 0 for odd k; the k=0 term
-    # enters the cosine series with half weight.
+    # Chebyshev moments: m_k = 2/(1-k^2) for even k, 0 for odd k. Both the
+    # node sum and the coefficient sum are double-primed (first/last terms
+    # halved) — the k=N halving is what makes the rule exactly interpolatory
+    # (exact for degree <= N); the reference omits it
+    # (`ParallelNeuralIntegral.py:24-28`), costing O(1/N^3) accuracy.
     k = i.astype(np.float64)
     with np.errstate(divide="ignore"):
         moments = np.where(i % 2 == 0, 2.0 / (1.0 - k**2), 0.0)
     moments[0] = 1.0  # half of 2/(1-0^2)
+    if n % 2 == 0:
+        moments[-1] *= 0.5
     cosmat = np.cos(np.outer(i, i) * np.pi / n) * (2.0 / n)
     weights = cosmat @ moments
     weights[0] *= 0.5

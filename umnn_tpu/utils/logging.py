@@ -28,6 +28,7 @@ def get_logger(
     into the log for provenance (`lib/utils.py:28-35` behavior)."""
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
+    logger.propagate = False
     logger.handlers.clear()
     if saving and logpath is not None:
         Path(logpath).parent.mkdir(parents=True, exist_ok=True)

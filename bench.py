@@ -2,20 +2,25 @@
 
 Measures the hot loop of UMNN training — the fused Clenshaw-Curtis integrand
 sweep at the UCI parity config (hidden_derivative [50,50,50,50], embedding 30,
-50 CC steps, batch 500, D=6; `UCIExperiments.py:196-217`) — as full
-forward+backward training-step evals/s on one chip.
+50 CC steps, batch 500, D=6; reference `UCIExperiments.py:196-217`) — as full
+forward+backward training-step evals/s on one chip, taking the best of the
+XLA-megabatch and fused-Pallas backends.
 
 "Evals" counts integrand-MLP evaluations: B * (N+1) * D per forward sweep;
 a training step costs 1 fwd sweep + 1 bwd sweep + endpoint/log-jac evals
 (SURVEY.md §3.1 cost model), counted explicitly below.
 
+``vs_baseline`` is the ratio to the PyTorch reference's own hot path
+(ParallelNeuralIntegral semantics re-implemented in torch from the published
+math, NOT vendored code) executed on this host's CPU — the reference has no
+TPU path, so reference-on-available-hardware is its best runnable number.
+
+Timing notes: ``jax.block_until_ready`` under-reports through the axon
+tunnel, so each measurement enqueues ``iters`` executions and drains the
+in-order device queue with one scalar readback; the single-call+readback RTT
+(~29 ms on this tunnel) is measured separately and subtracted.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` compares against the PyTorch reference's CPU-measured
-megabatch throughput scaled estimate recorded in BASELINE.md (no published
-number exists; baseline here = this harness run on the torch CPU reference
-path would be hardware-incomparable, so vs_baseline reports the ratio to the
-*naive XLA lowering* of the same computation on the same chip — i.e. the
-fusion speedup the Pallas kernel buys).
 """
 
 import json
@@ -29,38 +34,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+B, D, E, N = 500, 6, 30, 50
+HIDDEN_EMB = (512, 512)
+HIDDEN_DER = (50, 50, 50, 50)
 
-def _bench_fn(fn, args, iters=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+
+def _timed(fn, args, iters, scalarize):
+    """Per-call seconds: enqueue ``iters`` calls, drain with one readback."""
+    out = fn(*args)
+    _ = float(scalarize(out))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    out = fn(*args)
+    _ = float(scalarize(out))
+    floor = time.perf_counter() - t0  # 1 call + readback round-trip
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _ = float(scalarize(out))
+        best = min(best, time.perf_counter() - t0)
+    return (best - floor) / (iters - 1)
 
 
-def main():
+def bench_jax():
     from umnn_tpu.models.umnn_maf import UMNNMAF
 
-    B, D, E, N = 500, 6, 30, 50
     cfg = dict(
         input_size=D,
         embedding_s=E,
-        hidden_embedding=(512, 512),
-        hidden_derivative=(50, 50, 50, 50),
+        hidden_embedding=HIDDEN_EMB,
+        hidden_derivative=HIDDEN_DER,
         nb_steps=N,
     )
-
     x = jax.random.normal(jax.random.PRNGKey(1), (B, D))
-
-    def make_loss(model):
-        def loss(params, x):
-            ll, _ = model.compute_ll(params, x)
-            return -jnp.mean(ll)
-
-        return loss
 
     results = {}
     for backend in ("pallas", "xla"):
@@ -68,23 +75,111 @@ def main():
             continue
         model = UMNNMAF(backend=backend, **cfg)
         params = model.init(jax.random.PRNGKey(0))
-        step = jax.jit(jax.value_and_grad(make_loss(model)))
-        dt = _bench_fn(lambda p, xx: step(p, xx), (params, x), iters=20)
-        results[backend] = dt
+
+        def loss(params, x, model=model):
+            ll, _ = model.compute_ll(params, x)
+            return -jnp.mean(ll)
+
+        step = jax.jit(jax.value_and_grad(loss))
+        for attempt in range(3):  # remote-compile helper is flaky
+            try:
+                results[backend] = _timed(
+                    step, (params, x), iters=150, scalarize=lambda o: o[0]
+                )
+                break
+            except Exception as e:  # noqa: BLE001
+                if attempt == 2:
+                    print(f"backend {backend} failed: {e}", file=sys.stderr)
+    return results
+
+
+def bench_torch_reference():
+    """The reference's hot path (CCParallel + Leibniz backward) in torch on CPU.
+
+    Re-derived from the published math (Wehenkel & Louppe 2019, §3; reference
+    semantics `ParallelNeuralIntegral.py:37-123`): forward under no_grad sums
+    the integrand MLP over all CC nodes; backward re-sweeps the nodes with
+    cotangents g*(x/2)*w_i through torch.autograd.grad. Matches what a torch
+    user of the reference pays per training step, minus the MADE conditioner
+    (so the baseline is, if anything, flattered).
+    """
+    import torch
+
+    i = np.arange(N + 1)
+    t_nodes = np.cos(i * np.pi / N)
+    k = i.astype(np.float64)
+    with np.errstate(divide="ignore"):
+        mom = np.where(i % 2 == 0, 2.0 / (1.0 - k**2), 0.0)
+    mom[0] = 1.0
+    if N % 2 == 0:
+        mom[-1] *= 0.5
+    w = (np.cos(np.outer(i, i) * np.pi / N) * (2.0 / N)) @ mom
+    w[0] *= 0.5
+    w[-1] *= 0.5
+    nodes_t = torch.tensor(t_nodes, dtype=torch.float32)
+    ccw_t = torch.tensor(w, dtype=torch.float32)
+
+    sizes = [1 + E, *HIDDEN_DER, 1]
+    mods = []
+    for a, b in zip(sizes[:-1], sizes[1:]):
+        mods.append(torch.nn.Linear(a, b))
+        mods.append(torch.nn.LeakyReLU())
+    mods[-1] = torch.nn.ELU()
+    net = torch.nn.Sequential(*mods)
+
+    def f_net(xcol, hrows):
+        return net(torch.cat([xcol, hrows], dim=-1)) + 1.0
+
+    torch.manual_seed(0)
+    x = torch.randn(B * D, 1)
+    h = torch.randn(B * D, E)
+
+    def sweep(x, h, grad_out=None):
+        K = N + 1
+        s = (nodes_t + 1.0) * 0.5  # [K]
+        X = (x[:, None, :] * s[None, :, None]).reshape(-1, 1)  # [R*K, 1]
+        H = h[:, None, :].expand(-1, K, -1).reshape(-1, E)
+        if grad_out is None:
+            with torch.no_grad():
+                F = f_net(X, H).reshape(-1, K)
+                return (F * ccw_t[None]).sum(-1, keepdim=True) * x * 0.5
+        ct = (grad_out * x * 0.5) * ccw_t[None]  # [R, K]
+        F = f_net(X, H).reshape(-1, K)
+        gs = torch.autograd.grad((F * ct).sum(), list(net.parameters()))
+        return gs
+
+    def step():
+        z = sweep(x, h)
+        g = 2.0 * z / z.numel()  # d(mean z^2)/dz — stand-in loss cotangent
+        _ = sweep(x, h, grad_out=g)
+
+    step()  # warm
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    results = bench_jax()
+    best = min(results.values())
+    torch_dt = bench_torch_reference()
 
     # evals per train step: fwd sweep (N+1) + bwd sweep (N+1) + log-jac
     # endpoint eval (1), per (B, D) row  — SURVEY.md §3.1 cost model.
     evals_per_step = B * D * (2 * (N + 1) + 1)
-    best = min(results.values())
+    # torch baseline step above runs fwd + bwd sweeps (no log-jac endpoint)
+    torch_evals_per_step = B * D * 2 * (N + 1)
     value = evals_per_step / best
-    vs = (results["xla"] / results["pallas"]) if "pallas" in results else 1.0
+    baseline = torch_evals_per_step / torch_dt
     print(
         json.dumps(
             {
                 "metric": "quadrature-point integrand-MLP evals/s/chip (UCI parity config, fwd+bwd train step)",
                 "value": round(value, 1),
                 "unit": "evals/s",
-                "vs_baseline": round(vs, 3),
+                "vs_baseline": round(value / baseline, 3),
             }
         )
     )

@@ -32,6 +32,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from umnn_tpu.nn.core import ACTIVATIONS, Params, dense_apply, mlp_init
 from umnn_tpu.nn.made import MADE, ConditionalMADE
@@ -190,8 +191,14 @@ class UMNNMAF:
     cond_in: int = 0
     act_func: str = "ELU"
     solver: str = "CCParallel"
-    # "auto": fused Pallas kernel on TPU, XLA quadrature elsewhere.
+    # "auto": on TPU, pick the fused Pallas kernel when the folded row count
+    # B*D is large enough that the XLA megabatch VJP becomes HBM-bound
+    # (measured crossover ~16k rows on v5e: at the UCI parity config XLA wins
+    # ~0.5ms vs 1.2ms/step, at the MNIST config the fused kernel wins
+    # 31ms vs 41ms); "xla"/"pallas" force a path.
     backend: str = "auto"
+    # folded-row threshold for auto backend selection
+    pallas_min_rows: int = 16384
 
     def __post_init__(self):
         net = EmbeddingNetwork(
@@ -238,8 +245,11 @@ class UMNNMAF:
         weights: Optional[jax.Array] = None,
     ) -> jax.Array:
         z0 = h[..., : self.input_size]  # first embedding block (`UMNNMAF.py:80`)
+        n_rows = int(np.prod(x.shape))
         use_pallas = self.backend == "pallas" or (
-            self.backend == "auto" and pallas_available()
+            self.backend == "auto"
+            and pallas_available()
+            and n_rows >= self.pallas_min_rows
         )
         if use_pallas and self.act_func == "ELU":
             if nodes is None or weights is None:

@@ -5,19 +5,23 @@ the reference materializes a ``[B*(N+1)*D, 1+e]`` megabatch in device memory
 and runs the integrand MLP over it layer by layer
 (`ParallelNeuralIntegral.py:50-65` + `UMNNMAF.py:263-284`), paying HBM
 round-trips for every activation. Here the quadrature-node axis never leaves
-VMEM:
+VMEM, and the kernel exploits two structural facts of the UMNN integrand:
 
-* grid over row tiles of the flattened (batch x dim) axis;
-* the tiny integrand MLP weights (padded to 128 lanes) live in VMEM for the
-  whole sweep;
-* an in-register ``fori_loop`` over the N+1 nodes rebuilds each node's input
-  from the endpoint row (col 0 scaled by ``(t_n+1)/2`` — integrals start at
-  x0 = 0 for all UMNN models), runs the MLP chain on the MXU, and
-  accumulates the weighted sum;
-* the backward kernel re-sweeps the nodes with per-node cotangents
-  ``g * x/2 * w_n`` (the Leibniz-rule VJP), accumulating dW/db across rows,
-  nodes, and grid steps — grid iterations on a TensorCore are sequential, so
-  output-block accumulation is race-free.
+* **Only the x column varies across quadrature nodes.** The first layer's
+  contribution of the conditioning features ``h`` is computed ONCE per row
+  (``ph = [0,h] @ W1 + b1``) and each node adds a rank-1 update
+  ``(x*s_n) * W1[0,:]`` — the whole first-layer matmul drops out of the
+  node sweep.
+* **The node axis folds into the matmul M dimension.** Nodes are processed
+  in chunks of ``node_chunk``; activations live as ``[NC*T, 128]`` blocks so
+  every hidden layer is one large MXU matmul instead of ``N+1`` tiny
+  sequential ones. The weighted CC reduction collapses the node sub-axis
+  in-register.
+
+The backward kernel applies the same folding: per (row-tile, node-chunk) it
+recomputes the forward chain, then runs the standard MLP VJP where each
+``dW += acts^T @ dz`` is a single ``[128, NC*T] x [NC*T, 128]`` contraction,
+accumulated across the (sequential) grid into shared output blocks.
 
 HBM traffic is O(B*D*(1+e)) instead of O(B*D*(N+1)*(1+e+hidden)) — the
 arithmetic intensity grows by the node count (~51x), which is what makes
@@ -66,6 +70,23 @@ def _pad_params(ws: Sequence[jax.Array], bs: Sequence[jax.Array]):
     return pw, pb
 
 
+def _pad_nodes(nodes: jax.Array, ccw: jax.Array, node_chunk: int):
+    """Pad the node axis to a multiple of node_chunk with zero-weight nodes.
+
+    Padding nodes sit at t=-1 (position scale 0 — evaluates the integrand at
+    x0=0, harmless) and carry zero CC weight, so they contribute nothing to
+    either the forward sum or any backward cotangent.
+    """
+    K = nodes.shape[0]
+    K_pad = _round_up(K, node_chunk)
+    if K_pad != K:
+        nodes = jnp.concatenate(
+            [nodes, jnp.full((K_pad - K, 1), -1.0, nodes.dtype)], axis=0
+        )
+        ccw = jnp.concatenate([ccw, jnp.zeros((K_pad - K, 1), ccw.dtype)], axis=0)
+    return nodes, ccw, K_pad
+
+
 def _leaky(x, neg_slope):
     return jnp.where(x > 0, x, neg_slope * x)
 
@@ -75,15 +96,15 @@ def _dleaky(x, neg_slope):
 
 
 def _eluplus(x):
-    return jnp.where(x > 0, x + 1.0, jnp.exp(x))
+    return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
 
 
 def _deluplus(x):
-    return jnp.where(x > 0, 1.0, jnp.exp(x))
+    return jnp.where(x > 0, 1.0, jnp.exp(jnp.minimum(x, 0.0)))
 
 
-def _fwd_kernel(nodes_ref, ccw_ref, feat_ref, *rest, neg_slope):
-    """One row tile: out[r] = sum_n ccw[n] * MLP(feat_r with col0 *= s_n).
+def _fwd_kernel(nodes_ref, ccw_ref, feat_ref, *rest, neg_slope, node_chunk, k_pad):
+    """One row tile: out[r] = sum_n ccw[n] * MLP(feat_r with col0 := x_r*s_n).
 
     Pallas arg order: inputs (nodes, ccw, feat, ws..., bs...) then outputs.
     """
@@ -93,35 +114,55 @@ def _fwd_kernel(nodes_ref, ccw_ref, feat_ref, *rest, neg_slope):
     out_ref = rest[2 * n_layers]
     feat = feat_ref[:]  # [T, F_pad]
     T = feat.shape[0]
-    K = nodes_ref.shape[0]
+    NC = node_chunk
+    n_chunks = k_pad // NC
     col_ids = jax.lax.broadcasted_iota(jnp.int32, feat.shape, 1)
-    x_end = feat[:, 0:1]  # endpoint x (x0 = 0)
+    x_end = feat[:, 0:1]  # endpoint x (x0 = 0 for all UMNN integrals)
 
-    def node_body(n, acc):
-        s_n = (nodes_ref[n, 0] + 1.0) * 0.5
-        w_n = ccw_ref[n, 0]
-        a = jnp.where(col_ids == 0, x_end * s_n, feat)
-        for i in range(n_layers - 1):
+    # Node-invariant part of layer 1: [0, h] @ W1 + b1, computed once.
+    feat_h = jnp.where(col_ids == 0, 0.0, feat)
+    ph = (
+        jnp.dot(feat_h, ws[0][:], preferred_element_type=jnp.float32) + bs[0][:]
+    )  # [T, H1]
+    w1x = ws[0][0:1, :]  # [1, H1] — the x-input row of W1
+    H1 = ph.shape[1]
+
+    def chunk_body(c, acc):
+        # rank-3 layout [NC, T, *]: all mixing via size-1-dim broadcasts
+        # (Mosaic disallows lane<->sublane reshape relayouts).
+        s3 = ((nodes_ref[pl.ds(c * NC, NC), :] + 1.0) * 0.5)[:, :, None]  # [NC,1,1]
+        xs3 = s3 * x_end[None]  # [NC, T, 1] — per-(node,row) abscissa
+        pre1 = ph[None] + xs3 * w1x[None]  # [NC, T, H1]
+        a = _leaky(pre1, neg_slope).reshape(NC * T, H1)
+        for i in range(1, n_layers - 1):
             a = _leaky(
                 jnp.dot(a, ws[i][:], preferred_element_type=jnp.float32) + bs[i][:],
                 neg_slope,
             )
-        a = _eluplus(
+        zL = (
             jnp.dot(a, ws[n_layers - 1][:], preferred_element_type=jnp.float32)
             + bs[n_layers - 1][:]
         )
-        return acc + w_n * a[:, 0:1]
+        f3 = _eluplus(zL[:, 0:1]).reshape(NC, T, 1)
+        w3 = ccw_ref[pl.ds(c * NC, NC), :][:, :, None]  # [NC, 1, 1]
+        return acc + jnp.sum(w3 * f3, axis=0)  # [T, 1]
 
-    acc = jax.lax.fori_loop(0, K, node_body, jnp.zeros((T, 1), jnp.float32))
+    acc = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, jnp.zeros((T, 1), jnp.float32)
+    )
     out_ref[:] = acc * x_end * 0.5  # (xT - x0)/2 with x0 = 0
 
 
-def _bwd_kernel(nodes_ref, ccw_ref, feat_ref, g_ref, *rest, neg_slope):
-    """Backward over one row tile.
+def _bwd_kernel(
+    nodes_ref, ccw_ref, feat_ref, g_ref, *rest, neg_slope, node_chunk, k_pad
+):
+    """Backward over one row tile with the node axis folded into rows.
 
     Computes dfeat (the x column gets the exact node-path term — this VJP is
     the true gradient of the forward approximation) and accumulates dW/db
-    into shared output blocks across the sequential grid.
+    into shared output blocks across the sequential grid. The trailing
+    product-rule term ``g * S(x)/2`` is added host-side from the saved
+    forward output (see `_fused_vjp_bwd`).
     """
     # rest = ws..., bs... (inputs), dfeat, dws..., dbs... (outputs)
     n_layers = len(rest) // 4  # 4*n_layers + 1 total; floor div works
@@ -140,78 +181,90 @@ def _bwd_kernel(nodes_ref, ccw_ref, feat_ref, g_ref, *rest, neg_slope):
     feat = feat_ref[:]
     g = g_ref[:]  # [T, 1]
     T = feat.shape[0]
-    K = nodes_ref.shape[0]
+    NC = node_chunk
+    n_chunks = k_pad // NC
     col_ids = jax.lax.broadcasted_iota(jnp.int32, feat.shape, 1)
     x_end = feat[:, 0:1]
-    gx = g * x_end * 0.5  # cotangent of the node-sum (chain through *x/2)
+    gx = g * x_end * 0.5  # [T, 1] cotangent of the node-sum
 
-    def node_body(n, carry):
+    feat_h = jnp.where(col_ids == 0, 0.0, feat)
+    ph = (
+        jnp.dot(feat_h, ws[0][:], preferred_element_type=jnp.float32) + bs[0][:]
+    )  # [T, H1]
+    w1x = ws[0][0:1, :]
+    H1 = ph.shape[1]
+    F = feat.shape[1]
+
+    def contract_rows(a, b):
+        # a^T @ b with contraction over the (folded) row axis: [F, G]
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def chunk_body(c, carry):
         dfeat, dw_acc, db_acc = carry
-        s_n = (nodes_ref[n, 0] + 1.0) * 0.5
-        w_n = ccw_ref[n, 0]
-        ct = gx * w_n  # [T, 1]
-        # forward chain, keeping pre-activations
-        a = jnp.where(col_ids == 0, x_end * s_n, feat)
+        s3 = ((nodes_ref[pl.ds(c * NC, NC), :] + 1.0) * 0.5)[:, :, None]  # [NC,1,1]
+        xs3 = s3 * x_end[None]  # [NC, T, 1]
+        # forward chain. No pre-activation buffers: both activation
+        # derivatives are recoverable from the activations themselves
+        # (leaky: a > 0 <=> pre > 0; ELU+1: f' = min(f, 1)), halving the
+        # VMEM working set.
+        pre1 = (ph[None] + xs3 * w1x[None]).reshape(NC * T, H1)
+        a = _leaky(pre1, neg_slope)
         acts = [a]
-        pre = []
-        for i in range(n_layers - 1):
+        for i in range(1, n_layers - 1):
             z = jnp.dot(a, ws[i][:], preferred_element_type=jnp.float32) + bs[i][:]
-            pre.append(z)
             a = _leaky(z, neg_slope)
             acts.append(a)
-        zL = (
-            jnp.dot(a, ws[n_layers - 1][:], preferred_element_type=jnp.float32)
-            + bs[n_layers - 1][:]
+        fL = _eluplus(
+            jnp.dot(a, ws[n_layers - 1][:], preferred_element_type=jnp.float32)[:, 0:1]
+            + bs[n_layers - 1][0:1, 0:1]
         )
-        # backward chain
-        out_cols = jax.lax.broadcasted_iota(jnp.int32, zL.shape, 1)
-        d_out = jnp.where(out_cols == 0, ct, 0.0)
-        dz = d_out * _deluplus(zL)
-        new_dw, new_db = [], []
-        for i in range(n_layers - 1, -1, -1):
-            new_dw.insert(
-                0,
-                dw_acc[i]
-                + jnp.dot(acts[i].T, dz, preferred_element_type=jnp.float32),
-            )
-            new_db.insert(0, db_acc[i] + jnp.sum(dz, axis=0, keepdims=True))
+        # per-(node,row) cotangent: g * x/2 * w_n, only output col 0 is real
+        w3 = ccw_ref[pl.ds(c * NC, NC), :][:, :, None]  # [NC, 1, 1]
+        ct = (w3 * gx[None]).reshape(NC * T, 1)  # [NC*T, 1]
+        out_cols = jax.lax.broadcasted_iota(
+            jnp.int32, (NC * T, ws[n_layers - 1].shape[1]), 1
+        )
+        dz = jnp.where(out_cols == 0, ct * jnp.minimum(fL, 1.0), 0.0)
+        new_dw, new_db = list(dw_acc), list(db_acc)
+        for i in range(n_layers - 1, 0, -1):
+            new_dw[i] = dw_acc[i] + contract_rows(acts[i - 1], dz)
+            new_db[i] = db_acc[i] + jnp.sum(dz, axis=0, keepdims=True)
             da = jnp.dot(dz, ws[i][:].T, preferred_element_type=jnp.float32)
-            if i > 0:
-                dz = da * _dleaky(pre[i - 1], neg_slope)
-        # da is d(input row); x column carries the node scale
-        d_in = da
-        dfeat = dfeat + jnp.where(
-            col_ids == 0, d_in[:, 0:1] * s_n, d_in
-        )
+            dz = da * jnp.where(acts[i - 1] > 0, 1.0, neg_slope)
+        # layer 1: input rows are [x*s_n, h]; rebuild them for dW1
+        in_cols = jax.lax.broadcasted_iota(jnp.int32, (NC, T, F), 2)
+        in1 = jnp.where(in_cols == 0, xs3, feat_h[None]).reshape(NC * T, F)
+        new_dw[0] = dw_acc[0] + contract_rows(in1, dz)
+        new_db[0] = db_acc[0] + jnp.sum(dz, axis=0, keepdims=True)
+        d_in = jnp.dot(dz, ws[0][:].T, preferred_element_type=jnp.float32)
+        # fold the node axis back: dh sums over nodes; dx picks up s_n
+        d_in3 = d_in.reshape(NC, T, F)
+        dx_nodes = jnp.sum(d_in3[:, :, 0:1] * s3, axis=0)  # [T, 1]
+        dh_nodes = jnp.sum(d_in3, axis=0)  # [T, F] (col 0 overwritten below)
+        dfeat = dfeat + jnp.where(col_ids == 0, dx_nodes, dh_nodes)
         return dfeat, new_dw, new_db
 
     dfeat0 = jnp.zeros_like(feat)
     dw0 = [jnp.zeros(w.shape, jnp.float32) for w in dws]
     db0 = [jnp.zeros(b.shape, jnp.float32) for b in dbs]
     dfeat, dw_fin, db_fin = jax.lax.fori_loop(
-        0, K, node_body, (dfeat0, dw0, db0)
+        0, n_chunks, chunk_body, (dfeat0, dw0, db0)
     )
-    # d(x_end) also enters through the trailing *x/2 and through every node's
-    # col-0 scale — the node part is in dfeat col 0 already; add the quad-sum
-    # part: out = S(x) * x/2 with S = sum_n w_n f_n; dS-part handled above,
-    # d(x/2)-part = g * S = g * out/(x/2)... avoided: recompute S cheaply is
-    # a full sweep; instead host passes out/x precomputed? We fold it here:
-    # S * g = (acc) * g — we recompute acc in the same loop? To stay
-    # single-sweep, the host-side VJP adds g*z/x term analytically using the
-    # saved forward output. See _integral_bwd below.
     dfeat_ref[:] = dfeat
     for i in range(n_layers):
         dws[i][:] += dw_fin[i]
         dbs[i][:] += db_fin[i]
 
 
-def _run_fwd(pw, pb, feat, nodes, ccw, tile_r, interpret, neg_slope):
+def _run_fwd(pw, pb, feat, nodes, ccw, tile_r, node_chunk, interpret, neg_slope):
     R, F = feat.shape
     grid = (R // tile_r,)
-    n_layers = len(pw)
+    k_pad = nodes.shape[0]
     in_specs = [
-        pl.BlockSpec((nodes.shape[0], 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((nodes.shape[0], 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((k_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_r, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ] + [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in pw
@@ -220,26 +273,29 @@ def _run_fwd(pw, pb, feat, nodes, ccw, tile_r, interpret, neg_slope):
     ]
     mlp_flops = sum(2 * w.shape[0] * w.shape[1] for w in pw)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, neg_slope=neg_slope),
+        functools.partial(
+            _fwd_kernel, neg_slope=neg_slope, node_chunk=node_chunk, k_pad=k_pad
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, 1), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=R * nodes.shape[0] * mlp_flops,
+            flops=R * k_pad * mlp_flops,
             bytes_accessed=R * F * 4 + R * 4,
-            transcendentals=R * nodes.shape[0] * LANE,
+            transcendentals=R * k_pad,
         ),
     )(nodes, ccw, feat, *pw, *pb)
 
 
-def _run_bwd(pw, pb, feat, g, nodes, ccw, tile_r, interpret, neg_slope):
+def _run_bwd(pw, pb, feat, g, nodes, ccw, tile_r, node_chunk, interpret, neg_slope):
     R, F = feat.shape
     grid = (R // tile_r,)
+    k_pad = nodes.shape[0]
     in_specs = [
-        pl.BlockSpec((nodes.shape[0], 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((nodes.shape[0], 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((k_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_r, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ] + [
@@ -258,7 +314,9 @@ def _run_bwd(pw, pb, feat, g, nodes, ccw, tile_r, interpret, neg_slope):
         + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for b in pb]
     )
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, neg_slope=neg_slope),
+        functools.partial(
+            _bwd_kernel, neg_slope=neg_slope, node_chunk=node_chunk, k_pad=k_pad
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -273,10 +331,14 @@ def _run_bwd(pw, pb, feat, g, nodes, ccw, tile_r, interpret, neg_slope):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
 )
-def _fused_integral(ws, bs, x, h, nodes_ccw, tile_r, interpret, neg_slope):
-    z, _ = _fused_fwd_impl(ws, bs, x, h, nodes_ccw, tile_r, interpret, neg_slope)
+def _fused_integral(
+    ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope
+):
+    z, _ = _fused_fwd_impl(
+        ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope
+    )
     return z
 
 
@@ -292,35 +354,39 @@ def _prep(ws, bs, x, h):
     return feat, batch_shape, R, e
 
 
-def _fused_fwd_impl(ws, bs, x, h, nodes_ccw, tile_r, interpret, neg_slope):
+def _fused_fwd_impl(ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope):
     nodes, ccw = nodes_ccw
     feat, batch_shape, R, e = _prep(ws, bs, x, h)
     pw, pb = _pad_params(ws, bs)
+    nodes, ccw, _ = _pad_nodes(nodes, ccw, node_chunk)
     R_pad = _round_up(max(R, tile_r), tile_r)
     if R_pad != R:
         feat = jnp.pad(feat, ((0, R_pad - R), (0, 0)))
-    out = _run_fwd(pw, pb, feat, nodes, ccw, tile_r, interpret, neg_slope)
+    out = _run_fwd(pw, pb, feat, nodes, ccw, tile_r, node_chunk, interpret, neg_slope)
     z = out[:R, 0].reshape(batch_shape)
     return z, (feat, batch_shape, R, e)
 
 
-def _fused_vjp_fwd(ws, bs, x, h, nodes_ccw, tile_r, interpret, neg_slope):
-    z, _ = _fused_fwd_impl(ws, bs, x, h, nodes_ccw, tile_r, interpret, neg_slope)
+def _fused_vjp_fwd(ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope):
+    z, _ = _fused_fwd_impl(
+        ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope
+    )
     return z, (ws, bs, x, h, z, nodes_ccw)
 
 
-def _fused_vjp_bwd(tile_r, interpret, neg_slope, res, g):
+def _fused_vjp_bwd(tile_r, node_chunk, interpret, neg_slope, res, g):
     ws, bs, x, h, z, nodes_ccw = res
     nodes, ccw = nodes_ccw
     feat, batch_shape, R, e = _prep(ws, bs, x, h)
     pw, pb = _pad_params(ws, bs)
+    nodes, ccw, _ = _pad_nodes(nodes, ccw, node_chunk)
     R_pad = _round_up(max(R, tile_r), tile_r)
     g_flat = g.reshape(R, 1).astype(jnp.float32)
     if R_pad != R:
         feat = jnp.pad(feat, ((0, R_pad - R), (0, 0)))
         g_flat = jnp.pad(g_flat, ((0, R_pad - R), (0, 0)))
     dfeat, dpw, dpb = _run_bwd(
-        pw, pb, feat, g_flat, nodes, ccw, tile_r, interpret, neg_slope
+        pw, pb, feat, g_flat, nodes, ccw, tile_r, node_chunk, interpret, neg_slope
     )
     dfeat = dfeat[:R]
     # node-path x gradient + the product-rule term g * S(x)/2 = g * z / x
@@ -333,7 +399,7 @@ def _fused_vjp_bwd(tile_r, interpret, neg_slope, res, g):
     dh = dfeat[:, 1 : 1 + e].reshape(*batch_shape, e).astype(h.dtype)
     dws = [dw[: w.shape[0], : w.shape[1]].astype(w.dtype) for dw, w in zip(dpw, ws)]
     dbs = [db[0, : b.shape[0]].astype(b.dtype) for db, b in zip(dpb, bs)]
-    return (dws, dbs, dx.astype(x.dtype), dh, (jnp.zeros_like(nodes), jnp.zeros_like(ccw)))
+    return (dws, dbs, dx.astype(x.dtype), dh, (jnp.zeros_like(nodes_ccw[0]), jnp.zeros_like(nodes_ccw[1])))
 
 
 _fused_integral.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
@@ -347,7 +413,8 @@ def fused_cc_integral(
     nodes: jax.Array,
     ccw: jax.Array,
     *,
-    tile_r: int = 256,
+    tile_r: int = 128,
+    node_chunk: int = 16,
     interpret: bool | None = None,
     neg_slope: float = 0.01,
 ) -> jax.Array:
@@ -358,11 +425,15 @@ def fused_cc_integral(
     ``h: [..., e]`` per-row conditioning. ``nodes/ccw``: CC quadrature
     as [K, 1] float32 columns (see :func:`umnn_tpu.ops.quadrature.cc_quadrature`).
     Differentiable via the fused Leibniz-VJP backward kernel.
+
+    ``tile_r`` rows per grid step; ``node_chunk`` quadrature nodes folded
+    into each matmul's M dimension (VMEM per activation buffer is
+    ``tile_r * node_chunk * 128 * 4`` bytes).
     """
     if interpret is None:
         interpret = not pallas_available()
     nodes = nodes.reshape(-1, 1).astype(jnp.float32)
     ccw = ccw.reshape(-1, 1).astype(jnp.float32)
     return _fused_integral(
-        list(ws), list(bs), x, h, (nodes, ccw), tile_r, interpret, neg_slope
+        list(ws), list(bs), x, h, (nodes, ccw), tile_r, node_chunk, interpret, neg_slope
     )

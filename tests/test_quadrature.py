@@ -242,3 +242,61 @@ class TestNeuralIntegralVJP:
         # grad-of-jit
         g = jax.grad(lambda p: jnp.sum(fn(p, x0, xT, h)))(params)
         assert jnp.isfinite(g["a"])
+
+
+class TestSequentialSolver:
+    """integrate_sequential — the reference's low-memory "CC" solver
+    (`NeuralIntegral.py:37-99`)."""
+
+    def test_matches_parallel(self):
+        from umnn_tpu.ops.quadrature import integrate_sequential
+
+        n, w = cc_quadrature(40)
+        nodes, weights = jnp.asarray(n, jnp.float32), jnp.asarray(w, jnp.float32)
+        x0 = jnp.zeros((7, 3))
+        xT = jnp.asarray(np.random.RandomState(0).randn(7, 3), jnp.float32)
+        h = jnp.ones((7, 3))
+        params = {"a": jnp.asarray(2.0)}
+        z_seq = integrate_sequential(f_param, params, x0, xT, h, nodes, weights)
+        z_par = integrate(f_param, params, x0, xT, h, nodes, weights)
+        np.testing.assert_allclose(np.asarray(z_seq), np.asarray(z_par), atol=1e-5)
+
+    def test_gradients_match_parallel(self):
+        from umnn_tpu.ops.quadrature import integrate_sequential
+
+        n, w = cc_quadrature(24)
+        nodes, weights = jnp.asarray(n, jnp.float32), jnp.asarray(w, jnp.float32)
+        x0 = jnp.zeros((5, 2))
+        xT = jnp.asarray(np.random.RandomState(1).randn(5, 2), jnp.float32)
+        h = jnp.full((5, 2), 0.3)
+
+        def loss_seq(a, xT):
+            return integrate_sequential(
+                f_param, {"a": a}, x0, xT, h, nodes, weights
+            ).sum()
+
+        def loss_par(a, xT):
+            return integrate(f_param, {"a": a}, x0, xT, h, nodes, weights).sum()
+
+        ga, gx = jax.grad(loss_seq, argnums=(0, 1))(jnp.asarray(2.0), xT)
+        ra, rx = jax.grad(loss_par, argnums=(0, 1))(jnp.asarray(2.0), xT)
+        np.testing.assert_allclose(float(ga), float(ra), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-5)
+
+    def test_umnn_maf_cc_solver(self):
+        from umnn_tpu.models.umnn_maf import UMNNMAF
+
+        cfg = dict(
+            input_size=3,
+            embedding_s=4,
+            hidden_embedding=(16, 16),
+            hidden_derivative=(16, 16),
+            nb_steps=16,
+        )
+        m_par = UMNNMAF(solver="CCParallel", backend="xla", **cfg)
+        m_seq = UMNNMAF(solver="CC", backend="xla", **cfg)
+        params = m_par.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.RandomState(2).randn(9, 3), jnp.float32)
+        z_par = m_par.forward(params, x)
+        z_seq = m_seq.forward(params, x)
+        np.testing.assert_allclose(np.asarray(z_seq), np.asarray(z_par), atol=1e-5)

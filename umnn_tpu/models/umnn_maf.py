@@ -37,7 +37,12 @@ import numpy as np
 from umnn_tpu.nn.core import ACTIVATIONS, Params, dense_apply, mlp_init
 from umnn_tpu.nn.made import MADE, ConditionalMADE
 from umnn_tpu.ops.integrand_kernel import fused_cc_integral, pallas_available
-from umnn_tpu.ops.quadrature import cc_quadrature, integrate, neural_integral
+from umnn_tpu.ops.quadrature import (
+    cc_quadrature,
+    integrate,
+    integrate_sequential,
+    neural_integral,
+)
 
 __all__ = ["IntegrandNetwork", "EmbeddingNetwork", "UMNNMAF"]
 
@@ -246,10 +251,13 @@ class UMNNMAF:
     ) -> jax.Array:
         z0 = h[..., : self.input_size]  # first embedding block (`UMNNMAF.py:80`)
         n_rows = int(np.prod(x.shape))
-        use_pallas = self.backend == "pallas" or (
-            self.backend == "auto"
-            and pallas_available()
-            and n_rows >= self.pallas_min_rows
+        use_pallas = self.solver == "CCParallel" and (
+            self.backend == "pallas"
+            or (
+                self.backend == "auto"
+                and pallas_available()
+                and n_rows >= self.pallas_min_rows
+            )
         )
         if use_pallas and self.act_func == "ELU":
             if nodes is None or weights is None:
@@ -270,6 +278,21 @@ class UMNNMAF:
                 nodes,
                 weights,
                 neg_slope=0.01,
+            )
+        elif self.solver == "CC":
+            # node-sequential low-memory path (`NeuralIntegral.py:37-99`)
+            if nodes is None or weights is None:
+                n_np, w_np = cc_quadrature(nb_steps or self.nb_steps)
+                nodes = jnp.asarray(n_np, x.dtype)
+                weights = jnp.asarray(w_np, x.dtype)
+            z = integrate_sequential(
+                self._integrand_fn(),
+                params["net"]["integrand"],
+                jnp.zeros_like(x),
+                x,
+                h,
+                nodes,
+                weights,
             )
         else:
             x0 = jnp.zeros_like(x)

@@ -47,6 +47,7 @@ __all__ = [
     "cc_quadrature",
     "padded_cc_quadrature",
     "integrate",
+    "integrate_sequential",
     "integrate_autodiff",
     "neural_integral",
 ]
@@ -165,6 +166,41 @@ def integrate(
     f = _eval_nodes(integrand, params, x0, xT, h, nodes, inv_f)
     z = jnp.einsum("...kd,k->...d", f, weights)
     return z * (xT - x0) * 0.5
+
+
+def integrate_sequential(
+    integrand: Integrand,
+    params: Any,
+    x0: jax.Array,
+    xT: jax.Array,
+    h: jax.Array,
+    nodes: jax.Array,
+    weights: jax.Array,
+    inv_f: bool = False,
+) -> jax.Array:
+    """Node-sequential Clenshaw-Curtis quadrature (the reference's ``"CC"``
+    solver, `NeuralIntegral.py:37-66`).
+
+    One integrand call per node under ``lax.scan``: peak activation memory is
+    O(batch) instead of O(batch * (N+1)), at (N+1)x more (pipelined) steps —
+    the memory/launch tradeoff the reference exposes via ``solver="CC"``.
+    Differentiable by tracing through the scan (gradients checkpoint per
+    node); combine with :func:`neural_integral` is unnecessary since the scan
+    already stores only per-node residuals.
+    """
+    half = (xT - x0) * 0.5
+
+    def body(acc, node_w):
+        t, w = node_w
+        X = x0 + half * (t + 1.0)
+        f = integrand(params, X, h)
+        if inv_f:
+            f = 1.0 / f
+        return acc + w * f, None
+
+    acc0 = jnp.zeros(jnp.broadcast_shapes(x0.shape, xT.shape), xT.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (nodes, weights))
+    return acc * half
 
 
 def integrate_autodiff(

@@ -215,3 +215,73 @@ def test_freyfaces_geometry():
     )
     x_mean, *_ = model.apply(params, x, jax.random.PRNGKey(19))
     assert x_mean.shape == (B, 1, 28, 20)
+
+
+def test_pixelcnn_mask_matches_reference_semantics():
+    """build_pixelcnn_mask replicates `vae_lib/models/layers.py:168-193`."""
+    from umnn_tpu.models.vae.layers import build_pixelcnn_mask
+
+    for n_in, n_out, diag in [(4, 8, False), (4, 8, True), (8, 4, False), (8, 4, True)]:
+        m = build_pixelcnn_mask(n_in, n_out, (3, 3), diag)
+        assert m.shape == (n_out, n_in, 3, 3)
+        # spatial half-plane before center fully blocked
+        assert (m[:, :, 0, :] == 0).all() and (m[:, :, 1, 0] == 0).all()
+        # rows at/after center (except center tap) fully open
+        assert (m[:, :, 2, :] == 1).all() and (m[:, :, 1, 2] == 1).all()
+        # center tap carries the k-block triangularity
+        c = m[:, :, 1, 1]
+        if n_out >= n_in:
+            k = n_out // n_in
+            for i in range(n_in):
+                assert (c[i * k : (i + 1) * k, i + 1 :] == 0).all()
+                assert (c[i * k : (i + 1) * k, i : i + 1] == (0 if diag else 1)).all()
+
+
+def test_masked_conv2d_autoregressive():
+    """Output channel block i must not depend on input channels > i (same pixel)."""
+    import jax
+    import jax.numpy as jnp
+    from umnn_tpu.models.vae.layers import (
+        build_pixelcnn_mask,
+        masked_conv2d,
+        masked_conv2d_init,
+    )
+
+    n_in, n_out = 3, 6
+    p = masked_conv2d_init(jax.random.PRNGKey(0), n_in, n_out)
+    mask = jnp.asarray(build_pixelcnn_mask(n_in, n_out, (3, 3), diagonal_zeros=True))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, n_in, 5, 5))
+    y0 = masked_conv2d(p, mask, x)
+    # perturb input channel 2 at the center pixel: outputs for blocks of
+    # channels 0..1 at that pixel must not change (diagonal_zeros=True)
+    x2 = x.at[:, 2, 2, 2].add(10.0)
+    y1 = masked_conv2d(p, mask, x2)
+    delta = jnp.abs(y1 - y0)[:, :, 2, 2]  # same-pixel deltas [B, n_out]
+    k = n_out // n_in
+    assert float(delta[:, : 2 * k].max()) < 1e-6  # blocks for ch<2 unaffected
+
+
+def test_accum_train_step_matches_full_batch():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from umnn_tpu.training.loops import (
+        make_accum_train_step,
+        make_optimizer,
+        make_train_step,
+    )
+
+    w0 = {"w": jnp.ones((4,))}
+
+    def loss_fn(params, batch):
+        return jnp.mean((batch @ params["w"][:, None]) ** 2)
+
+    opt = make_optimizer("adam", lr=1e-2, weight_decay=0.0, grad_clip=None)
+    batch = jnp.asarray(np.random.RandomState(0).randn(16, 4), jnp.float32)
+
+    s_full = make_train_step(loss_fn, opt)
+    s_acc = make_accum_train_step(loss_fn, opt, accum_steps=4)
+    p1, o1, l1 = s_full(w0, opt.init(w0), batch)
+    p2, o2, l2 = s_acc({"w": jnp.ones((4,))}, opt.init(w0), batch)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1["w"]), np.asarray(p2["w"]), atol=1e-5)

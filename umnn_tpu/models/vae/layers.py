@@ -129,3 +129,63 @@ def masked_linear_init(key, n_in, n_out, dtype=jnp.float32) -> Params:
 
 def masked_linear(p: Params, mask: jax.Array, x: jax.Array) -> jax.Array:
     return x @ (p["w"] * mask) + p["b"]
+
+
+# --- pixelCNN autoregressive masked conv (`layers.py:137-209`) ---------------
+
+
+def build_pixelcnn_mask(
+    n_in: int,
+    n_out: int,
+    size_kernel: tuple[int, int] = (3, 3),
+    diagonal_zeros: bool = False,
+) -> np.ndarray:
+    """PixelCNN-style autoregressive conv mask [n_out, n_in, kh, kw].
+
+    Replicates the reference's exact semantics (`layers.py:168-193`): the
+    spatial half-plane strictly before the kernel center (in the reference's
+    chosen raster order) is zeroed, and the center tap carries the same
+    k-block feature triangularity as :func:`build_block_mask`
+    (``diagonal_zeros=True`` for y_i = f(x_<i) output layers).
+    """
+    if not (n_in % n_out == 0 or n_out % n_in == 0):
+        raise ValueError(f"incompatible sizes {n_in} {n_out}")
+    l = (size_kernel[0] - 1) // 2
+    m = (size_kernel[1] - 1) // 2
+    mask = np.ones((n_out, n_in, *size_kernel), dtype=np.float32)
+    mask[:, :, :l, :] = 0
+    mask[:, :, l, :m] = 0
+    if n_out >= n_in:
+        k = n_out // n_in
+        for i in range(n_in):
+            mask[i * k : (i + 1) * k, i + 1 :, l, m] = 0
+            if diagonal_zeros:
+                mask[i * k : (i + 1) * k, i : i + 1, l, m] = 0
+    else:
+        k = n_in // n_out
+        for i in range(n_out):
+            mask[i : i + 1, (i + 1) * k :, l, m] = 0
+            if diagonal_zeros:
+                mask[i : i + 1, i * k : (i + 1) * k, l, m] = 0
+    return mask
+
+
+def masked_conv2d_init(key, n_in, n_out, size_kernel=(3, 3), dtype=jnp.float32) -> Params:
+    fan_in = n_in * size_kernel[0] * size_kernel[1]
+    w = jax.random.normal(key, (n_out, n_in, *size_kernel), dtype) * math.sqrt(
+        2.0 / fan_in
+    )
+    return {"w": w, "b": jnp.zeros((n_out,), dtype)}
+
+
+def masked_conv2d(p: Params, mask: jax.Array, x: jax.Array) -> jax.Array:
+    """NCHW masked conv with 'same' padding (`layers.py:196-198`)."""
+    kh, kw = p["w"].shape[-2:]
+    out = jax.lax.conv_general_dilated(
+        x,
+        p["w"] * mask,
+        window_strides=(1, 1),
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out + p["b"][None, :, None, None]

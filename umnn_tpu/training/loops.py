@@ -104,6 +104,56 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def make_accum_train_step(
+    loss_fn: Callable[[Params, Any], jax.Array],
+    optimizer: optax.GradientTransformation,
+    accum_steps: int,
+    mesh=None,
+):
+    """Gradient-accumulation train step (the reference's ``max_forward``
+    sub-batching, `MNISTExperiment.py:46,160-165`, `UCIExperiments.py:135-141`).
+
+    The batch's leading axis is split into ``accum_steps`` microbatches
+    scanned sequentially; per-microbatch grads are averaged before one
+    optimizer update. Peak activation memory drops by ``accum_steps`` at the
+    same math (loss is mean-of-means over equal microbatches). On TPU this is
+    mostly obsoleted by the Leibniz custom VJP (which never stores node
+    activations), but remains useful for very large embeddings/batches.
+    """
+
+    def step(params, opt_state, batch):
+        micro = jax.tree.map(
+            lambda a: a.reshape(accum_steps, a.shape[0] // accum_steps, *a.shape[1:]),
+            batch,
+        )
+
+        def body(carry, mb):
+            loss_acc, grad_acc = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, mb)
+            return (
+                loss_acc + loss,
+                jax.tree.map(jnp.add, grad_acc, grads),
+            ), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (loss_sum, grad_sum), _ = jax.lax.scan(body, (jnp.zeros(()), zeros), micro)
+        grads = jax.tree.map(lambda g: g / accum_steps, grad_sum)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_sum / accum_steps
+
+    if mesh is not None:
+        rep = replicated(mesh)
+        shd = batch_sharded(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, shd),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
 def make_eval_step(loss_fn: Callable[[Params, Any], jax.Array], mesh=None):
     if mesh is not None:
         rep = replicated(mesh)

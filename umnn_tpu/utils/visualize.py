@@ -67,6 +67,27 @@ def plt_samples(samples: np.ndarray, ax=None, npts: int = 100, title: str = "x ~
     return ax
 
 
+def plt_stream(
+    transform_fn, ax=None, npts: int = 200, title: str = "Density streamflow"
+):
+    """Streamplot of the flow displacement field z(x) - x
+    (`lib/visualize_flow.py:59-67`): color encodes displacement magnitude."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots(figsize=(4, 4))
+    import jax.numpy as jnp
+
+    side = np.linspace(LOW, HIGH, npts)
+    xx, yy = np.meshgrid(side, side)
+    x = np.hstack([xx.reshape(-1, 1), yy.reshape(-1, 1)]).astype(np.float32)
+    z = np.asarray(transform_fn(jnp.asarray(x)))
+    dzx = (z - x)[:, 0].reshape(xx.shape)
+    dzy = (z - x)[:, 1].reshape(xx.shape)
+    ax.streamplot(xx, yy, dzx, dzy, color=(dzx**2 + dzy**2) / 2, cmap="autumn")
+    ax.set_title(title)
+    return ax
+
+
 def visualize_transform(
     samples: Optional[np.ndarray],
     log_prob_fn,

@@ -233,16 +233,25 @@ def _bwd_kernel(
             new_db[i] = db_acc[i] + jnp.sum(dz, axis=0, keepdims=True)
             da = jnp.dot(dz, ws[i][:].T, preferred_element_type=jnp.float32)
             dz = da * jnp.where(acts[i - 1] > 0, 1.0, neg_slope)
-        # layer 1: input rows are [x*s_n, h]; rebuild them for dW1
-        in_cols = jax.lax.broadcasted_iota(jnp.int32, (NC, T, F), 2)
-        in1 = jnp.where(in_cols == 0, xs3, feat_h[None]).reshape(NC * T, F)
-        new_dw[0] = dw_acc[0] + contract_rows(in1, dz)
-        new_db[0] = db_acc[0] + jnp.sum(dz, axis=0, keepdims=True)
-        d_in = jnp.dot(dz, ws[0][:].T, preferred_element_type=jnp.float32)
-        # fold the node axis back: dh sums over nodes; dx picks up s_n
-        d_in3 = d_in.reshape(NC, T, F)
-        dx_nodes = jnp.sum(d_in3[:, :, 0:1] * s3, axis=0)  # [T, 1]
-        dh_nodes = jnp.sum(d_in3, axis=0)  # [T, F] (col 0 overwritten below)
+        # layer 1. Input rows are [x*s_n, h] and h is node-invariant, so the
+        # node axis collapses BEFORE the big contractions:
+        #   dW1[f>=1,:] = feat_h^T @ (sum_n dz1_n)      [T-row contraction]
+        #   dW1[0,  :] = sum_{n,r} (x_r s_n) dz1_{n,r}  [VPU reduction]
+        #   dh         = (sum_n dz1_n) @ W1[1:,:]^T     [T-row matmul]
+        #   dx_nodes   = sum_n s_n (dz1_n @ W1[0,:]^T)  [VPU reduction]
+        # — no [NC*T, F] input rebuild and no [NC*T]-row matmuls here.
+        dz3 = dz.reshape(NC, T, H1)
+        dz_sum = jnp.sum(dz3, axis=0)  # [T, H1]
+        dw1_h = contract_rows(feat_h, dz_sum)  # [F, H1]; row 0 is 0 (x col of feat_h)
+        dw1_x = jnp.sum(jnp.sum(xs3 * dz3, axis=0), axis=0, keepdims=True)  # [1, H1]
+        w_rows = jax.lax.broadcasted_iota(jnp.int32, dw1_h.shape, 0)
+        new_dw[0] = dw_acc[0] + jnp.where(w_rows == 0, dw1_x, dw1_h)
+        new_db[0] = db_acc[0] + jnp.sum(dz_sum, axis=0, keepdims=True)
+        dh_nodes = jnp.dot(
+            dz_sum, ws[0][:].T, preferred_element_type=jnp.float32
+        )  # [T, F] (col 0 overwritten below)
+        dx_per = jnp.sum(dz3 * w1x[None], axis=2, keepdims=True)  # [NC, T, 1]
+        dx_nodes = jnp.sum(dx_per * s3, axis=0)  # [T, 1]
         dfeat = dfeat + jnp.where(col_ids == 0, dx_nodes, dh_nodes)
         return dfeat, new_dw, new_db
 
@@ -281,6 +290,9 @@ def _run_fwd(pw, pb, feat, nodes, ccw, tile_r, node_chunk, interpret, neg_slope)
         out_specs=pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, 1), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         cost_estimate=pl.CostEstimate(
             flops=R * k_pad * mlp_flops,
             bytes_accessed=R * F * 4 + R * 4,
@@ -322,6 +334,9 @@ def _run_bwd(pw, pb, feat, g, nodes, ccw, tile_r, node_chunk, interpret, neg_slo
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(nodes, ccw, feat, g, *pw, *pb)
     dfeat = outs[0]
     n_layers = len(pw)

@@ -34,7 +34,8 @@ class CheckpointManager:
     max_to_keep: int = 5
 
     def __post_init__(self):
-        self.directory = Path(self.directory)
+        # orbax/tensorstore require absolute paths
+        self.directory = Path(self.directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
         if _HAVE_ORBAX:
             self._mngr = ocp.CheckpointManager(

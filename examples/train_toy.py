@@ -90,7 +90,22 @@ def main():
             f"mean={samples.mean(0)}  std={samples.std(0)}"
         )
         if args.folder:
-            np.save(Path(args.folder) / f"samples_{args.data}.npy", samples)
+            out = Path(args.folder)
+            out.mkdir(parents=True, exist_ok=True)
+            np.save(out / f"samples_{args.data}.npy", samples)
+            try:
+                from umnn_tpu.utils.visualize import visualize_transform
+
+                def log_prob(pts):
+                    ll, _ = model.compute_ll(params, pts)
+                    return ll
+
+                visualize_transform(
+                    samples, log_prob, out / f"density_{args.data}.png"
+                )
+                print(f"saved density plot to {out}/density_{args.data}.png")
+            except Exception as e:  # matplotlib optional
+                print(f"density plot skipped: {e}")
 
     return 0
 

@@ -144,3 +144,41 @@ def test_jit_compiles_once_forward(flow):
     x = jax.random.normal(jax.random.PRNGKey(12), (8, D))
     ll = fn(params, x)
     assert np.isfinite(np.asarray(ll)).all()
+
+
+def test_newton_invert_roundtrip():
+    """Parallel Jacobi-Newton inversion matches forward round-trip."""
+    from umnn_tpu.models.umnn_maf import UMNNMAF
+
+    m = UMNNMAF(
+        input_size=6,
+        embedding_s=4,
+        hidden_embedding=(24, 24),
+        hidden_derivative=(16, 16),
+        nb_steps=16,
+        backend="xla",
+    )
+    params = m.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(11, 6), jnp.float32)
+    z = m.forward(params, x)
+    x_rec = m.invert_newton(params, z, iters=40)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=2e-3)
+
+
+def test_newton_invert_flow_level():
+    from umnn_tpu.models.flow import UMNNMAFFlow
+
+    f = UMNNMAFFlow(
+        nb_flow=2,
+        nb_in=4,
+        hidden_embedding=(24, 24),
+        hidden_derivative=(16, 16),
+        embedding_s=4,
+        nb_steps=16,
+        backend="xla",
+    )
+    params = f.init(jax.random.PRNGKey(1))
+    x = jnp.asarray(np.random.RandomState(1).randn(9, 4), jnp.float32)
+    z = f.forward(params, x)
+    x_rec = f.invert(params, z, iters=40, method="newton")
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=5e-3)

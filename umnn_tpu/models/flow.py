@@ -123,17 +123,25 @@ class UMNNMAFFlow:
         )
         return bpp, ll, z
 
-    def invert(self, params, z, iters=10, context=None, **kw):
+    def invert(self, params, z, iters=10, context=None, method="bisection", **kw):
         """Inverse transform, blocks in reverse with matching reversals
-        (`UMNNMAFFlow.py:78-90`)."""
+        (`UMNNMAFFlow.py:78-90`).
+
+        ``method``: "bisection" (the reference's gridded bracket refinement,
+        dimension-sequential) or "newton" (parallel Jacobi-Newton over all
+        dimensions — see :meth:`UMNNMAF.invert_newton`; pass ``iters``~30).
+        """
         z = self._rev(z)
+        inv = (
+            self.block.invert_newton if method == "newton" else self.block.invert
+        )
         for p in reversed(params):
-            z = self.block.invert(p, self._rev(z), iters, context, **kw)
+            z = inv(p, self._rev(z), iters, context, **kw)
         return z
 
-    def sample(self, params, key, n, iters=10, context=None, **kw):
+    def sample(self, params, key, n, iters=10, context=None, method="bisection", **kw):
         z = jax.random.normal(key, (n, self.nb_in))
-        return self.invert(params, z, iters, context, **kw)
+        return self.invert(params, z, iters, context, method=method, **kw)
 
     # --- Lipschitz controls (`UMNNMAFFlow.py:143-151`) ----------------------
 

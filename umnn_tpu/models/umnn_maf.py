@@ -372,6 +372,41 @@ class UMNNMAF:
 
     # --- inversion (`UMNNMAF.py:182-232`) -----------------------------------
 
+    def invert_newton(
+        self,
+        params: Params,
+        z: jax.Array,
+        iters: int = 30,
+        context: Optional[jax.Array] = None,
+        x_bound: float = 50.0,
+        damping: float = 1.0,
+    ) -> jax.Array:
+        """Parallel Jacobi-Newton inversion — all dimensions at once.
+
+        TPU-native alternative to the reference's dimension-sequential
+        bisection (`UMNNMAF.py:182-232`): iterate
+        ``x <- x - (forward(x) - z) / J_diag(x)`` where the diagonal Jacobian
+        ``J_diag = exp(s) * f(x, h)`` is available for free (the integrand is
+        the derivative). For a triangular monotone map, dimension d is exact
+        once dims < d have converged, so worst case is D iterations, but the
+        sweep typically converges in 15-40 regardless of D (cf. Song et al.,
+        arXiv 2002.03629 — parallel nonlinear-equation feedforward solving).
+        Cost per iteration: one forward + one integrand eval over the full
+        batch — for D=784 this is ~25x fewer integrand sweeps than the
+        sequential bisection.
+        """
+        s = self._scale(params)
+
+        def body(_, x):
+            h = self.embed(params, x, context)
+            zx = self.forward_with_embedding(params, x, h)
+            jac = s * self.net.integrand.apply(params["net"]["integrand"], x, h)
+            step = (zx - z) / jnp.maximum(jac, 1e-6)
+            x = x - damping * step
+            return jnp.clip(x, -x_bound, x_bound)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(z))
+
     def invert(
         self,
         params: Params,

@@ -115,14 +115,13 @@ def main():
     rng = np.random.RandomState(args.seed + 1)
 
     def eval_split(x, y):
-        tot, n = 0.0, 0
+        tot = []
         for xb, yb in zip(
             batch_iter(x, args.b_size, rng, shuffle=False),
             batch_iter(y, args.b_size, rng, shuffle=False),
         ):
-            tot += float(eval_bpp(params, jnp.asarray(xb), jnp.asarray(yb)))
-            n += 1
-        return tot / max(n, 1)
+            tot.append(eval_bpp(params, jnp.asarray(xb), jnp.asarray(yb)))
+        return float(jnp.stack(tot).mean()) if tot else 0.0
 
     for epoch in range(args.nb_epoch):
         t0 = time.time()
@@ -138,8 +137,8 @@ def main():
                 params, opt_state,
                 jnp.asarray(data.trn_x[sel]), jnp.asarray(data.trn_y[sel]),
             )
-            losses.append(float(loss))
-        train_nll = float(np.mean(losses))
+            losses.append(loss)
+        train_nll = float(jnp.stack(losses).mean())
         valid_bpp = eval_split(data.val_x, data.val_y)
         metrics.scalar("train_nll", train_nll, epoch)
         metrics.scalar("valid_bpp", valid_bpp, epoch)
@@ -151,6 +150,7 @@ def main():
             epoch, train_nll, valid_bpp, time.time() - t0,
         )
 
+    best.flush()
     best_params = ckpt.load_best("valid", params)
     if best_params is not None:
         params = best_params

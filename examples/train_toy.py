@@ -73,11 +73,11 @@ def main():
         for _ in range(steps_per_epoch):
             batch = jnp.asarray(inf_train_gen(args.data, rng, args.b_size)[:, :2])
             params, opt_state, loss = train_step(params, opt_state, batch)
-            losses.append(float(loss))
+            losses.append(loss)
         test_batch = jnp.asarray(inf_train_gen(args.data, rng, 2048)[:, :2])
         test_nll = float(eval_step(params, test_batch))
         print(
-            f"epoch {epoch:3d}  train NLL {np.mean(losses):8.4f}  "
+            f"epoch {epoch:3d}  train NLL {float(jnp.stack(losses).mean()):8.4f}  "
             f"test NLL {test_nll:8.4f}  ({time.time()-t0:.2f}s)"
         )
 

@@ -138,11 +138,10 @@ def main():
     lr = args.lr
 
     def eval_split(x):
-        tot, n = 0.0, 0
+        tot = []
         for b in batch_iter(x, args.b_size, rng, shuffle=False):
-            tot += float(eval_step(params, jnp.asarray(b), eval_nodes, eval_weights))
-            n += 1
-        return tot / max(n, 1)
+            tot.append(eval_step(params, jnp.asarray(b), eval_nodes, eval_weights))
+        return float(jnp.stack(tot).mean()) if tot else 0.0
 
     for epoch in range(start_epoch, args.nb_epoch):
         t0 = time.time()
@@ -158,8 +157,8 @@ def main():
             params, opt_state, loss = train_step(
                 params, opt_state, jnp.asarray(b), nodes, weights
             )
-            losses.append(float(loss))
-        train_nll = float(np.mean(losses))
+            losses.append(loss)
+        train_nll = float(jnp.stack(losses).mean())
         valid_nll = eval_split(data.val)
         history["train"].append(train_nll)
         history["valid"].append(valid_nll)
@@ -178,6 +177,7 @@ def main():
             epoch, train_nll, valid_nll, lr, time.time() - t0,
         )
 
+    best.flush()
     best_params = ckpt.load_best("valid", params)
     if best_params is not None:
         params = best_params

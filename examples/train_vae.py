@@ -151,15 +151,15 @@ def main():
             params, opt_state, loss, rec, kl = train_step(
                 params, opt_state, jnp.asarray(b), k, jnp.float32(beta)
             )
-            losses.append(float(loss))
+            losses.append(loss)
         if fam == "MMAF" and args.Lipshitz > 0:
             key, k = jax.random.split(key)
             params = model.force_lipschitz(params, k, args.Lipshitz)
         vloss = []
         for b in batch_iter(data.val, args.b_size, rng_np, shuffle=False):
             key, k = jax.random.split(key)
-            vloss.append(float(eval_step(params, jnp.asarray(b), k)))
-        train_loss, valid_loss = float(np.mean(losses)), float(np.mean(vloss))
+            vloss.append(eval_step(params, jnp.asarray(b), k))
+        train_loss, valid_loss = float(jnp.stack(losses).mean()), float(jnp.stack(vloss).mean())
         if not np.isfinite(valid_loss):
             raise ValueError(f"NaN/inf validation loss at epoch {epoch}")
         metrics.scalar("train_loss", train_loss, epoch)

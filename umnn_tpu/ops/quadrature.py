@@ -96,6 +96,9 @@ def cc_quadrature(nb_steps: int) -> tuple[np.ndarray, np.ndarray]:
     return nodes, weights
 
 
+_padded_cache: dict[tuple, tuple[jax.Array, jax.Array]] = {}
+
+
 def padded_cc_quadrature(
     nb_steps: int, max_steps: int, dtype=jnp.float32
 ) -> tuple[jax.Array, jax.Array]:
@@ -105,14 +108,23 @@ def padded_cc_quadrature(
     single jit compilation (shape ``max_steps + 1``) evaluates any step count
     — the fix for the reference's per-``nb_steps`` retracing in its
     randomized-steps training mode (`UCIExperiments.py:130-132`).
+
+    The returned *device* arrays are cached per (nb_steps, max_steps, dtype):
+    randomized-steps training calls this every batch, and a fresh
+    host->device upload per step costs a full transfer round-trip.
     """
+    key = (nb_steps, max_steps, jnp.dtype(dtype).name)
+    if key in _padded_cache:
+        return _padded_cache[key]
     nodes, weights = cc_quadrature(nb_steps)
     pad = max_steps - nb_steps
     if pad < 0:
         raise ValueError(f"max_steps {max_steps} < nb_steps {nb_steps}")
     nodes = np.concatenate([nodes, np.full(pad, nodes[-1])])
     weights = np.concatenate([weights, np.zeros(pad)])
-    return jnp.asarray(nodes, dtype), jnp.asarray(weights, dtype)
+    out = (jnp.asarray(nodes, dtype), jnp.asarray(weights, dtype))
+    _padded_cache[key] = out
+    return out
 
 
 def _node_positions(x0: jax.Array, xT: jax.Array, nodes: jax.Array) -> jax.Array:

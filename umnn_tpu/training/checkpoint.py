@@ -117,18 +117,47 @@ class CheckpointManager:
 @dataclasses.dataclass
 class BestTracker:
     """Track best-valid / best-train / best-train-valid checkpoints
-    (the reference's three-way policy, `UCIExperiments.py:172-180`)."""
+    (the reference's three-way policy, `UCIExperiments.py:172-180`).
+
+    Best params are held as (immutable) device arrays and written to disk
+    only by :meth:`flush` — the reference's save-to-disk-per-improvement
+    (`torch.save` each epoch) costs a full device->host transfer per epoch.
+    ``flush()`` is also called implicitly by ``load_best`` via the manager's
+    files, so drivers should flush before final evaluation.
+    """
 
     manager: CheckpointManager
     best_train: float = float("inf")
     best_valid: float = float("inf")
+    write_through: bool = False
+
+    def __post_init__(self):
+        self._pending: dict = {}
 
     def update(self, train_loss: float, valid_loss: float, params: Any):
         if train_loss < self.best_train:
             self.best_train = train_loss
-            self.manager.save_best("train", params)
+            self._stash("train", params)
             if valid_loss < self.best_valid:
-                self.manager.save_best("train_valid", params)
+                self._stash("train_valid", params)
         if valid_loss < self.best_valid:
             self.best_valid = valid_loss
-            self.manager.save_best("valid", params)
+            self._stash("valid", params)
+
+    def _stash(self, tag: str, params: Any):
+        if self.write_through:
+            self.manager.save_best(tag, params)
+        else:
+            self._pending[tag] = params
+
+    def flush(self):
+        for tag, params in self._pending.items():
+            self.manager.save_best(tag, params)
+        self._pending.clear()
+
+    def best_params(self, tag: str, fallback: Any):
+        """In-memory best params if tracked, else from disk, else fallback."""
+        if tag in self._pending:
+            return self._pending[tag]
+        loaded = self.manager.load_best(tag, fallback)
+        return loaded if loaded is not None else fallback

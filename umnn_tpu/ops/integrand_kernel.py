@@ -201,8 +201,11 @@ def _bwd_kernel(
             a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    def chunk_body(c, carry):
-        dfeat, dw_acc, db_acc = carry
+    # transposed weights for the dz chain, computed once per tile
+    # (hoisted out of the node-chunk loop)
+    wTs = [ws[i][:].T for i in range(n_layers)]
+
+    def chunk_body(c, dfeat):
         s3 = ((nodes_ref[pl.ds(c * NC, NC), :] + 1.0) * 0.5)[:, :, None]  # [NC,1,1]
         xs3 = s3 * x_end[None]  # [NC, T, 1]
         # forward chain. No pre-activation buffers: both activation
@@ -227,11 +230,14 @@ def _bwd_kernel(
             jnp.int32, (NC * T, ws[n_layers - 1].shape[1]), 1
         )
         dz = jnp.where(out_cols == 0, ct * jnp.minimum(fL, 1.0), 0.0)
-        new_dw, new_db = list(dw_acc), list(db_acc)
+        # dW/db accumulate straight into the output refs (read-modify-write;
+        # the grid is sequential and the node-chunk loop is in-kernel), so
+        # the fori_loop carries only dfeat — carried tensors cost a VMEM
+        # copy per iteration.
         for i in range(n_layers - 1, 0, -1):
-            new_dw[i] = dw_acc[i] + contract_rows(acts[i - 1], dz)
-            new_db[i] = db_acc[i] + jnp.sum(dz, axis=0, keepdims=True)
-            da = jnp.dot(dz, ws[i][:].T, preferred_element_type=jnp.float32)
+            dws[i][:] += contract_rows(acts[i - 1], dz)
+            dbs[i][:] += jnp.sum(dz, axis=0, keepdims=True)
+            da = jnp.dot(dz, wTs[i], preferred_element_type=jnp.float32)
             dz = da * jnp.where(acts[i - 1] > 0, 1.0, neg_slope)
         # layer 1. Input rows are [x*s_n, h] and h is node-invariant, so the
         # node axis collapses BEFORE the big contractions:
@@ -245,26 +251,18 @@ def _bwd_kernel(
         dw1_h = contract_rows(feat_h, dz_sum)  # [F, H1]; row 0 is 0 (x col of feat_h)
         dw1_x = jnp.sum(jnp.sum(xs3 * dz3, axis=0), axis=0, keepdims=True)  # [1, H1]
         w_rows = jax.lax.broadcasted_iota(jnp.int32, dw1_h.shape, 0)
-        new_dw[0] = dw_acc[0] + jnp.where(w_rows == 0, dw1_x, dw1_h)
-        new_db[0] = db_acc[0] + jnp.sum(dz_sum, axis=0, keepdims=True)
+        dws[0][:] += jnp.where(w_rows == 0, dw1_x, dw1_h)
+        dbs[0][:] += jnp.sum(dz_sum, axis=0, keepdims=True)
         dh_nodes = jnp.dot(
-            dz_sum, ws[0][:].T, preferred_element_type=jnp.float32
+            dz_sum, wTs[0], preferred_element_type=jnp.float32
         )  # [T, F] (col 0 overwritten below)
         dx_per = jnp.sum(dz3 * w1x[None], axis=2, keepdims=True)  # [NC, T, 1]
         dx_nodes = jnp.sum(dx_per * s3, axis=0)  # [T, 1]
         dfeat = dfeat + jnp.where(col_ids == 0, dx_nodes, dh_nodes)
-        return dfeat, new_dw, new_db
+        return dfeat
 
-    dfeat0 = jnp.zeros_like(feat)
-    dw0 = [jnp.zeros(w.shape, jnp.float32) for w in dws]
-    db0 = [jnp.zeros(b.shape, jnp.float32) for b in dbs]
-    dfeat, dw_fin, db_fin = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, (dfeat0, dw0, db0)
-    )
+    dfeat = jax.lax.fori_loop(0, n_chunks, chunk_body, jnp.zeros_like(feat))
     dfeat_ref[:] = dfeat
-    for i in range(n_layers):
-        dws[i][:] += dw_fin[i]
-        dbs[i][:] += db_fin[i]
 
 
 def _run_fwd(pw, pb, feat, nodes, ccw, tile_r, node_chunk, interpret, neg_slope):

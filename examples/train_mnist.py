@@ -95,7 +95,7 @@ def main():
 
     def bpp_fn(prm, x, y):
         bpp, ll, _ = model.compute_bpp(prm, x, context=onehot(y))
-        return jnp.mean(bpp)
+        return bpp  # per-sample: lets eval skip wrap-padded dup rows
 
     def _step(prm, st, x, y):
         loss, grads = jax.value_and_grad(loss_fn)(prm, x, y)
@@ -115,13 +115,15 @@ def main():
     rng = np.random.RandomState(args.seed + 1)
 
     def eval_split(x, y):
-        tot = []
-        for xb, yb in zip(
-            batch_iter(x, args.b_size, rng, shuffle=False),
+        tot, n_tot = [], 0
+        for (xb, nv), yb in zip(
+            batch_iter(x, args.b_size, rng, shuffle=False, with_counts=True),
             batch_iter(y, args.b_size, rng, shuffle=False),
         ):
-            tot.append(eval_bpp(params, jnp.asarray(xb), jnp.asarray(yb)))
-        return float(jnp.stack(tot).mean()) if tot else 0.0
+            vec = eval_bpp(params, jnp.asarray(xb), jnp.asarray(yb))
+            tot.append(vec[:nv].sum())
+            n_tot += nv
+        return float(jnp.stack(tot).sum()) / max(n_tot, 1)
 
     for epoch in range(args.nb_epoch):
         t0 = time.time()

@@ -116,8 +116,12 @@ def main():
         out_shardings=(rep, rep, rep),
         donate_argnums=(0, 1),
     )
+    def nll_vec_fn(prm, batch, nodes, weights):
+        ll, _ = model.compute_ll(prm, batch, nodes=nodes, weights=weights)
+        return -ll  # per-sample NLL: lets eval skip wrap-padded dup rows
+
     eval_step = jax.jit(
-        loss_fn, in_shardings=(rep, shd, rep, rep), out_shardings=rep
+        nll_vec_fn, in_shardings=(rep, shd, rep, rep), out_shardings=rep
     )
     eval_nodes, eval_weights = padded_cc_quadrature(eval_steps, MAX_STEPS)
 
@@ -138,10 +142,12 @@ def main():
     lr = args.lr
 
     def eval_split(x):
-        tot = []
-        for b in batch_iter(x, args.b_size, rng, shuffle=False):
-            tot.append(eval_step(params, jnp.asarray(b), eval_nodes, eval_weights))
-        return float(jnp.stack(tot).mean()) if tot else 0.0
+        tot, n_tot = [], 0
+        for b, nv in batch_iter(x, args.b_size, rng, shuffle=False, with_counts=True):
+            vec = eval_step(params, jnp.asarray(b), eval_nodes, eval_weights)
+            tot.append(vec[:nv].sum())
+            n_tot += nv
+        return float(jnp.stack(tot).sum()) / max(n_tot, 1)
 
     for epoch in range(start_epoch, args.nb_epoch):
         t0 = time.time()

@@ -26,7 +26,7 @@ import numpy as np
 import optax
 
 from umnn_tpu.data.images import load_vae_dataset
-from umnn_tpu.models.vae import VAE_FAMILIES, calculate_loss
+from umnn_tpu.models.vae import VAE_FAMILIES, calculate_loss, calculate_loss_array
 from umnn_tpu.models.vae.iwae import calculate_likelihood
 from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
 from umnn_tpu.training.checkpoint import CheckpointManager
@@ -129,10 +129,17 @@ def main():
         out_shardings=(rep, rep, rep, rep, rep),
         donate_argnums=(0, 1),
     )
+    def eval_vec_fn(prm, batch, rng):
+        # per-sample loss so eval can skip wrap-padded duplicate rows
+        x = batch.reshape(-1, c, hh, ww)
+        x_mean, z_mu, z_var, ldj, z0, zk = model.apply(prm, x, rng)
+        return calculate_loss_array(
+            x_mean, x, z_mu, z_var, z0, zk, ldj,
+            data.input_type, data.input_size,
+        )
+
     eval_step = jax.jit(
-        lambda prm, batch, rng: loss_fn(prm, batch, rng, 1.0)[0],
-        in_shardings=(rep, shd, rep),
-        out_shardings=rep,
+        eval_vec_fn, in_shardings=(rep, shd, rep), out_shardings=rep
     )
 
     ckpt = CheckpointManager(folder / "ckpt")
@@ -155,11 +162,13 @@ def main():
         if fam == "MMAF" and args.Lipshitz > 0:
             key, k = jax.random.split(key)
             params = model.force_lipschitz(params, k, args.Lipshitz)
-        vloss = []
-        for b in batch_iter(data.val, args.b_size, rng_np, shuffle=False):
+        vloss, v_n = [], 0
+        for b, nv in batch_iter(data.val, args.b_size, rng_np, shuffle=False, with_counts=True):
             key, k = jax.random.split(key)
-            vloss.append(eval_step(params, jnp.asarray(b), k))
-        train_loss, valid_loss = float(jnp.stack(losses).mean()), float(jnp.stack(vloss).mean())
+            vloss.append(eval_step(params, jnp.asarray(b), k)[:nv].sum())
+            v_n += nv
+        train_loss = float(jnp.stack(losses).mean())
+        valid_loss = float(jnp.stack(vloss).sum()) / max(v_n, 1)
         if not np.isfinite(valid_loss):
             raise ValueError(f"NaN/inf validation loss at epoch {epoch}")
         metrics.scalar("train_loss", train_loss, epoch)

@@ -60,3 +60,16 @@ def test_vae_datasets_synthetic(name):
     assert data.trn.shape[1] == c * h * w
     assert data.input_type in ("binary", "multinomial")
     assert data.trn.min() >= 0.0 and data.trn.max() <= 1.0
+
+
+def test_batch_iter_with_counts():
+    import numpy as np
+    from umnn_tpu.training.loops import batch_iter
+
+    x = np.arange(10)[:, None].astype(np.float32)
+    rng = np.random.RandomState(0)
+    out = list(batch_iter(x, 4, rng, shuffle=False, with_counts=True))
+    assert [n for _, n in out] == [4, 4, 2]
+    # last batch wrap-padded to full size but only n_valid=2 real rows
+    assert out[-1][0].shape == (4, 1)
+    assert out[-1][0][:2, 0].tolist() == [8.0, 9.0]

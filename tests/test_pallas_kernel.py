@@ -115,3 +115,52 @@ def test_model_level_pallas_backend_matches_xla():
     gp = jax.grad(lambda p: -jnp.mean(m_p.compute_ll(p, x)[0]))(params)
     for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
+
+
+def test_dx_gradient_at_zero():
+    """dz/dx at x=0 is f(0,h) > 0 — the VJP must not zero it (the old
+    z/x product-term guard did)."""
+    from umnn_tpu.nn.core import mlp_init
+    from umnn_tpu.ops.integrand_kernel import fused_cc_integral
+    from umnn_tpu.ops.quadrature import cc_quadrature
+
+    e = 6
+    layers = mlp_init(jax.random.PRNGKey(0), [1 + e, 16, 16, 1])
+    ws = [l["w"] for l in layers]
+    bs = [l["b"] for l in layers]
+    n_np, w_np = cc_quadrature(20)
+    nodes = jnp.asarray(n_np, jnp.float32)
+    ccw = jnp.asarray(w_np, jnp.float32)
+    x = jnp.asarray([[0.0, 1e-9, 0.5]], jnp.float32)
+    h = jnp.ones((1, 3, e), jnp.float32)
+
+    dx = jax.grad(lambda xx: fused_cc_integral(ws, bs, xx, h, nodes, ccw).sum())(x)
+    # ELU+1 integrand is strictly positive everywhere
+    assert float(dx.min()) > 0.1, f"vanishing gradient at x~0: {dx}"
+    # and at x=0 it must equal f(0, h) exactly (both integral terms vanish)
+    from umnn_tpu.nn.core import ACTIVATIONS, dense_apply
+
+    rows = jnp.concatenate([jnp.zeros((1, 1)), h[0, 0][None]], axis=-1)
+    act = ACTIVATIONS["LeakyReLU"]
+    for l in layers[:-1]:
+        rows = act(dense_apply(l, rows))
+    f0 = ACTIVATIONS["ELUPlus"](dense_apply(layers[-1], rows))[0, 0]
+    np.testing.assert_allclose(float(dx[0, 0]), float(f0), rtol=1e-4)
+
+
+def test_single_layer_integrand_rejected():
+    from umnn_tpu.nn.core import mlp_init
+    from umnn_tpu.ops.integrand_kernel import fused_cc_integral
+    from umnn_tpu.ops.quadrature import cc_quadrature
+
+    layers = mlp_init(jax.random.PRNGKey(0), [4, 1])
+    n_np, w_np = cc_quadrature(8)
+    with pytest.raises(ValueError, match="hidden layer"):
+        fused_cc_integral(
+            [layers[0]["w"]],
+            [layers[0]["b"]],
+            jnp.ones((2, 1)),
+            jnp.ones((2, 1, 3)),
+            jnp.asarray(n_np, jnp.float32),
+            jnp.asarray(w_np, jnp.float32),
+        )

@@ -175,17 +175,24 @@ def load_freyfaces(root=DEFAULT_ROOT, seed=123, synthetic=None) -> VAEImageData:
 
     with open(p, "rb") as f:
         data = pickle.load(f, encoding="latin1")[0]
-    data = (data / 256.0).astype(np.float32)
+    data = (data / 255.0).astype(np.float32)  # /255, `load_data.py:71`
     np.random.RandomState(seed).shuffle(data)
     return VAEImageData(
         data[:1565], data[1565:1765], data[1765:1965], (1, 28, 20), "multinomial"
     )
 
 
+def _fortran_reshape(data: np.ndarray) -> np.ndarray:
+    """The sylvester-flows column-major unflatten (`load_data.py:112-113,163`):
+    reshape to images then re-flatten in Fortran order."""
+    return data.reshape((-1, 28, 28)).reshape((-1, 28 * 28), order="F")
+
+
 def load_omniglot(root=DEFAULT_ROOT, seed=0, synthetic=None) -> VAEImageData:
-    """Omniglot with a fixed binarization draw (the reference binarizes
-    dynamically per epoch, `load_data.py:103-152`; we expose the real-valued
-    array and let the input pipeline re-binarize per batch)."""
+    """Omniglot (`load_data.py:103-152`): F-order reshape, shuffled 1345-val
+    split; train stays real-valued (dynamically binarized per batch by the
+    training loop) while val/test are binarized ONCE with the reference's
+    fixed seed 777."""
     p = Path(root) / "omniglot" / "chardata.mat"
     if synthetic is True or not p.exists():
         if synthetic is False:
@@ -194,14 +201,16 @@ def load_omniglot(root=DEFAULT_ROOT, seed=0, synthetic=None) -> VAEImageData:
     from scipy.io import loadmat
 
     raw = loadmat(p)
-    trn = raw["data"].T.astype(np.float32)
-    tst = raw["testdata"].T.astype(np.float32)
+    trn = _fortran_reshape(raw["data"].T.astype(np.float32))
+    tst = _fortran_reshape(raw["testdata"].T.astype(np.float32))
     rng = np.random.RandomState(seed)
     idx = rng.permutation(len(trn))
     n_val = 1345
-    return VAEImageData(
-        trn[idx[:-n_val]], trn[idx[-n_val:]], tst, (1, 28, 28), "binary"
-    )
+    x_trn, x_val = trn[idx[:-n_val]], trn[idx[-n_val:]]
+    np.random.seed(777)  # reference's fixed eval binarization draw
+    x_val = np.random.binomial(1, x_val).astype(np.float32)
+    tst = np.random.binomial(1, tst).astype(np.float32)
+    return VAEImageData(x_trn, x_val, tst, (1, 28, 28), "binary")
 
 
 def load_caltech(root=DEFAULT_ROOT, synthetic=None) -> VAEImageData:
@@ -214,10 +223,11 @@ def load_caltech(root=DEFAULT_ROOT, synthetic=None) -> VAEImageData:
     from scipy.io import loadmat
 
     raw = loadmat(p)
+    # polarity inversion + F-order reshape (`load_data.py:168-173`)
     return VAEImageData(
-        raw["train_data"].astype(np.float32),
-        raw["val_data"].astype(np.float32),
-        raw["test_data"].astype(np.float32),
+        1.0 - _fortran_reshape(raw["train_data"].astype(np.float32)),
+        1.0 - _fortran_reshape(raw["val_data"].astype(np.float32)),
+        1.0 - _fortran_reshape(raw["test_data"].astype(np.float32)),
         (1, 28, 28),
         "binary",
     )

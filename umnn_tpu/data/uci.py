@@ -87,14 +87,13 @@ def _load_power(root: Path) -> TabularData:
     n = data.shape[0]
     data = np.delete(data, 3, axis=1)
     data = np.delete(data, 1, axis=1)
-    noise = np.hstack(
-        [
-            0.001 * rng.rand(n, 1),  # gap
-            0.01 * rng.rand(n, 1),  # voltage
-            rng.rand(n, 3),  # sub-metering
-            np.zeros((n, 1)),  # time
-        ]
-    )
+    # RNG draw ORDER matches the reference exactly (voltage before gap,
+    # `power.py:43-45`) even though the noise columns stack gap-first —
+    # byte-equivalence requires consuming the seed-42 stream identically.
+    voltage_noise = 0.01 * rng.rand(n, 1)
+    gap_noise = 0.001 * rng.rand(n, 1)
+    sm_noise = rng.rand(n, 3)
+    noise = np.hstack([gap_noise, voltage_noise, sm_noise, np.zeros((n, 1))])
     data = data + noise
     trn, val, tst = _tail_splits_10_10(data)
     trn, val, tst = _zscore_by_train_valid(trn, val, tst)
@@ -108,7 +107,10 @@ def _load_gas(root: Path) -> TabularData:
     data = data.drop(columns=["Meth", "Eth", "Time"])
 
     def corr_counts(df):
-        return (df.corr().abs() > 0.98).to_numpy().sum(axis=1)
+        # signed threshold, NOT abs: the reference counts C > 0.98
+        # (`gas.py:40-42`) so strongly anti-correlated pairs never trigger
+        # a column drop
+        return (df.corr() > 0.98).to_numpy().sum(axis=1)
 
     counts = corr_counts(data)
     while np.any(counts > 1):

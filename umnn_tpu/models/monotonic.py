@@ -71,8 +71,9 @@ class MonotonicNN:
         out = mlp_apply(params["hnet"], h, ACTIVATIONS["ReLU"])
         offset = out[..., 0:1]
         scaling = jnp.exp(out[..., 1:2])
-        use_pallas = self.backend == "pallas" or (
-            self.backend == "auto" and pallas_available()
+        use_pallas = len(self.hidden_layers) >= 1 and (
+            self.backend == "pallas"
+            or (self.backend == "auto" and pallas_available())
         )
         if use_pallas:
             n_np, w_np = cc_quadrature(self.nb_steps)

@@ -251,7 +251,9 @@ class UMNNMAF:
     ) -> jax.Array:
         z0 = h[..., : self.input_size]  # first embedding block (`UMNNMAF.py:80`)
         n_rows = int(np.prod(x.shape))
-        use_pallas = self.solver == "CCParallel" and (
+        use_pallas = self.solver == "CCParallel" and len(
+            self.hidden_derivative
+        ) >= 1 and (
             self.backend == "pallas"
             or (
                 self.backend == "auto"

@@ -164,13 +164,14 @@ def _bwd_kernel(
     product-rule term ``g * S(x)/2`` is added host-side from the saved
     forward output (see `_fused_vjp_bwd`).
     """
-    # rest = ws..., bs... (inputs), dfeat, dws..., dbs... (outputs)
-    n_layers = len(rest) // 4  # 4*n_layers + 1 total; floor div works
+    # rest = ws..., bs... (inputs), dfeat, dws..., dbs..., S (outputs)
+    n_layers = (len(rest) - 2) // 4
     ws = rest[:n_layers]
     bs = rest[n_layers : 2 * n_layers]
     dfeat_ref = rest[2 * n_layers]
     dws = rest[2 * n_layers + 1 : 3 * n_layers + 1]
-    dbs = rest[3 * n_layers + 1 :]
+    dbs = rest[3 * n_layers + 1 : 4 * n_layers + 1]
+    s_ref = rest[4 * n_layers + 1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -205,7 +206,8 @@ def _bwd_kernel(
     # (hoisted out of the node-chunk loop)
     wTs = [ws[i][:].T for i in range(n_layers)]
 
-    def chunk_body(c, dfeat):
+    def chunk_body(c, carry):
+        dfeat, s_acc = carry
         s3 = ((nodes_ref[pl.ds(c * NC, NC), :] + 1.0) * 0.5)[:, :, None]  # [NC,1,1]
         xs3 = s3 * x_end[None]  # [NC, T, 1]
         # forward chain. No pre-activation buffers: both activation
@@ -225,6 +227,9 @@ def _bwd_kernel(
         )
         # per-(node,row) cotangent: g * x/2 * w_n, only output col 0 is real
         w3 = ccw_ref[pl.ds(c * NC, NC), :][:, :, None]  # [NC, 1, 1]
+        # quadrature sum S = sum_n w_n f_n (exact d z/d x = S/2 + x/2 dS/dx;
+        # the S/2 product-rule term is applied host-side from this output)
+        s_acc = s_acc + jnp.sum(w3 * fL.reshape(NC, T, 1), axis=0)  # [T, 1]
         ct = (w3 * gx[None]).reshape(NC * T, 1)  # [NC*T, 1]
         out_cols = jax.lax.broadcasted_iota(
             jnp.int32, (NC * T, ws[n_layers - 1].shape[1]), 1
@@ -259,10 +264,13 @@ def _bwd_kernel(
         dx_per = jnp.sum(dz3 * w1x[None], axis=2, keepdims=True)  # [NC, T, 1]
         dx_nodes = jnp.sum(dx_per * s3, axis=0)  # [T, 1]
         dfeat = dfeat + jnp.where(col_ids == 0, dx_nodes, dh_nodes)
-        return dfeat
+        return dfeat, s_acc
 
-    dfeat = jax.lax.fori_loop(0, n_chunks, chunk_body, jnp.zeros_like(feat))
+    dfeat, s_sum = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, (jnp.zeros_like(feat), jnp.zeros((T, 1), jnp.float32))
+    )
     dfeat_ref[:] = dfeat
+    s_ref[:] = s_sum
 
 
 def _run_fwd(pw, pb, feat, nodes, ccw, tile_r, node_chunk, interpret, neg_slope):
@@ -317,11 +325,13 @@ def _run_bwd(pw, pb, feat, g, nodes, ccw, tile_r, node_chunk, interpret, neg_slo
         [jax.ShapeDtypeStruct((R, F), jnp.float32)]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in pw]
         + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in pb]
+        + [jax.ShapeDtypeStruct((R, 1), jnp.float32)]
     )
     out_specs = (
         [pl.BlockSpec((tile_r, F), lambda i: (i, 0), memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in pw]
         + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for b in pb]
+        + [pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     )
     outs = pl.pallas_call(
         functools.partial(
@@ -339,8 +349,9 @@ def _run_bwd(pw, pb, feat, g, nodes, ccw, tile_r, node_chunk, interpret, neg_slo
     dfeat = outs[0]
     n_layers = len(pw)
     dpw = outs[1 : 1 + n_layers]
-    dpb = outs[1 + n_layers :]
-    return dfeat, dpw, dpb
+    dpb = outs[1 + n_layers : 1 + 2 * n_layers]
+    s_sum = outs[1 + 2 * n_layers]
+    return dfeat, dpw, dpb, s_sum
 
 
 @functools.partial(
@@ -398,16 +409,14 @@ def _fused_vjp_bwd(tile_r, node_chunk, interpret, neg_slope, res, g):
     if R_pad != R:
         feat = jnp.pad(feat, ((0, R_pad - R), (0, 0)))
         g_flat = jnp.pad(g_flat, ((0, R_pad - R), (0, 0)))
-    dfeat, dpw, dpb = _run_bwd(
+    dfeat, dpw, dpb, s_sum = _run_bwd(
         pw, pb, feat, g_flat, nodes, ccw, tile_r, node_chunk, interpret, neg_slope
     )
     dfeat = dfeat[:R]
-    # node-path x gradient + the product-rule term g * S(x)/2 = g * z / x
-    # (z = S * x/2). Guard x ~ 0: z/x -> S(0)/2 is finite; use safe divide.
-    safe_x = jnp.where(jnp.abs(x) > 1e-8, x, 1.0)
-    prod_term = jnp.where(
-        jnp.abs(x) > 1e-8, g * z / safe_x, jnp.zeros_like(x)
-    )
+    # node-path x gradient + the exact product-rule term g * S(x)/2, with
+    # S = sum_n w_n f_n recomputed by the backward kernel (dividing the saved
+    # z by x would be singular at x = 0, where the true gradient is g*f(0,h)).
+    prod_term = g * s_sum[:R, 0].reshape(batch_shape) * 0.5
     dx = dfeat[:, 0].reshape(batch_shape) + prod_term
     dh = dfeat[:, 1 : 1 + e].reshape(*batch_shape, e).astype(h.dtype)
     dws = [dw[: w.shape[0], : w.shape[1]].astype(w.dtype) for dw, w in zip(dpw, ws)]
@@ -443,6 +452,13 @@ def fused_cc_integral(
     into each matmul's M dimension (VMEM per activation buffer is
     ``tile_r * node_chunk * 128 * 4`` bytes).
     """
+    if len(ws) < 2:
+        # the kernels assume >= 1 hidden layer (separate first/output
+        # matmuls); a single-layer integrand must use the XLA path
+        raise ValueError(
+            "fused_cc_integral requires an integrand MLP with at least one "
+            "hidden layer; use the XLA quadrature path for single-layer nets"
+        )
     if interpret is None:
         interpret = not pallas_available()
     nodes = nodes.reshape(-1, 1).astype(jnp.float32)

@@ -16,6 +16,7 @@ from pathlib import Path
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 try:  # orbax is in the baked image; gate anyway for portability
@@ -148,7 +149,10 @@ class BestTracker:
         if self.write_through:
             self.manager.save_best(tag, params)
         else:
-            self._pending[tag] = params
+            # device-side copy: the caller's train step donates its params
+            # buffers, so stashing the live reference would hold arrays the
+            # next step deletes. jnp.copy stays async (no host round-trip).
+            self._pending[tag] = jax.tree_util.tree_map(jnp.copy, params)
 
     def flush(self):
         for tag, params in self._pending.items():

@@ -191,13 +191,21 @@ def batch_iter(
     batch_size: int,
     rng: np.random.RandomState,
     shuffle: bool = True,
-) -> Iterator[np.ndarray]:
+    with_counts: bool = False,
+) -> Iterator:
     """Host-side minibatcher (drops no remainder; pads by wrap to keep
-    shapes static for jit)."""
+    shapes static for jit).
+
+    With ``with_counts=True`` yields ``(batch, n_valid)`` so evaluation can
+    ignore the wrap-padded duplicate rows of the final partial batch —
+    averaging per-batch means over a padded batch double-counts the head of
+    the dataset.
+    """
     n = x.shape[0]
     idx = rng.permutation(n) if shuffle else np.arange(n)
     for i in range(0, n, batch_size):
         sel = idx[i : i + batch_size]
-        if len(sel) < batch_size:
-            sel = np.concatenate([sel, idx[: batch_size - len(sel)]])
-        yield x[sel]
+        n_valid = len(sel)
+        if n_valid < batch_size:
+            sel = np.concatenate([sel, idx[: batch_size - n_valid]])
+        yield (x[sel], n_valid) if with_counts else x[sel]

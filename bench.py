@@ -105,17 +105,9 @@ def bench_torch_reference():
     """
     import torch
 
-    i = np.arange(N + 1)
-    t_nodes = np.cos(i * np.pi / N)
-    k = i.astype(np.float64)
-    with np.errstate(divide="ignore"):
-        mom = np.where(i % 2 == 0, 2.0 / (1.0 - k**2), 0.0)
-    mom[0] = 1.0
-    if N % 2 == 0:
-        mom[-1] *= 0.5
-    w = (np.cos(np.outer(i, i) * np.pi / N) * (2.0 / N)) @ mom
-    w[0] *= 0.5
-    w[-1] *= 0.5
+    from umnn_tpu.ops.quadrature import cc_quadrature
+
+    t_nodes, w = cc_quadrature(N)
     nodes_t = torch.tensor(t_nodes, dtype=torch.float32)
     ccw_t = torch.tensor(w, dtype=torch.float32)
 
@@ -163,6 +155,9 @@ def bench_torch_reference():
 
 def main():
     results = bench_jax()
+    if not results:
+        print("bench: all backends failed; see stderr", file=sys.stderr)
+        return 1
     best = min(results.values())
     torch_dt = bench_torch_reference()
 
@@ -186,4 +181,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

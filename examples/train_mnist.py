@@ -28,7 +28,7 @@ from umnn_tpu.data.images import load_mnist_flow, logit_back
 from umnn_tpu.models.flow import UMNNMAFFlow
 from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
 from umnn_tpu.training.checkpoint import BestTracker, CheckpointManager
-from umnn_tpu.training.loops import batch_iter, make_optimizer
+from umnn_tpu.training.loops import batch_iter, make_optimizer, make_train_step
 from umnn_tpu.utils.logging import MetricsWriter, get_logger
 
 
@@ -97,16 +97,8 @@ def main():
         bpp, ll, _ = model.compute_bpp(prm, x, context=onehot(y))
         return bpp  # per-sample: lets eval skip wrap-padded dup rows
 
-    def _step(prm, st, x, y):
-        loss, grads = jax.value_and_grad(loss_fn)(prm, x, y)
-        updates, st = optimizer.update(grads, st, prm)
-        return optax.apply_updates(prm, updates), st, loss
-
-    train_step = jax.jit(
-        _step,
-        in_shardings=(rep, rep, shd, shd),
-        out_shardings=(rep, rep, rep),
-        donate_argnums=(0, 1),
+    train_step = make_train_step(
+        loss_fn, optimizer, mesh, extra_shardings=("shard",)
     )
     eval_bpp = jax.jit(bpp_fn, in_shardings=(rep, shd, shd), out_shardings=rep)
 

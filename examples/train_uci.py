@@ -42,11 +42,12 @@ from umnn_tpu.training.loops import (
     batch_iter,
     get_learning_rate,
     make_optimizer,
+    make_train_step,
     set_learning_rate,
 )
 from umnn_tpu.utils.logging import MetricsWriter, get_logger
 
-MAX_STEPS = 100  # randomized mode draws 2*U{5,50} -> max 100
+MAX_STEPS = 100  # randomized mode draws 2*U{5,49} -> max 98; padded shape 100
 
 
 def main():
@@ -82,6 +83,9 @@ def main():
 
     random_steps = args.nb_steps <= 0
     eval_steps = 100 if random_steps else args.nb_steps
+    # pad the node axis only in randomized-steps mode: zero-weight padding
+    # nodes still cost integrand evaluations in both sweeps
+    max_steps = MAX_STEPS if random_steps else max(eval_steps, args.nb_steps)
     model = UMNNMAFFlow(
         nb_flow=args.nb_flow,
         nb_in=data.n_dims,
@@ -103,18 +107,8 @@ def main():
         ll, _ = model.compute_ll(prm, batch, nodes=nodes, weights=weights)
         return -jnp.mean(ll)
 
-    import optax
-
-    def _step(prm, opt_st, batch, nodes, weights):
-        loss, grads = jax.value_and_grad(loss_fn)(prm, batch, nodes, weights)
-        updates, opt_st = optimizer.update(grads, opt_st, prm)
-        return optax.apply_updates(prm, updates), opt_st, loss
-
-    train_step = jax.jit(
-        _step,
-        in_shardings=(rep, rep, shd, rep, rep),
-        out_shardings=(rep, rep, rep),
-        donate_argnums=(0, 1),
+    train_step = make_train_step(
+        loss_fn, optimizer, mesh, extra_shardings=("rep", "rep")
     )
     def nll_vec_fn(prm, batch, nodes, weights):
         ll, _ = model.compute_ll(prm, batch, nodes=nodes, weights=weights)
@@ -123,23 +117,26 @@ def main():
     eval_step = jax.jit(
         nll_vec_fn, in_shardings=(rep, shd, rep, rep), out_shardings=rep
     )
-    eval_nodes, eval_weights = padded_cc_quadrature(eval_steps, MAX_STEPS)
+    eval_nodes, eval_weights = padded_cc_quadrature(eval_steps, max_steps)
 
     ckpt = CheckpointManager(folder / "ckpt")
     best = BestTracker(ckpt)
     plateau = ReduceLROnPlateau()
     history = ckpt.load_history() if args.load else {"train": [], "valid": [], "test": []}
     start_epoch = len(history["valid"])  # loss-history resume cursor
+    rng = np.random.RandomState(args.seed + 1)
+    lr = args.lr
     if args.load and ckpt.latest_step() is not None:
         restored = ckpt.restore(
             template={"params": params, "opt_state": opt_state}
         )
         if restored is not None:
             _, params, opt_state = restored
-            logger.info("resumed at epoch %d", start_epoch)
-
-    rng = np.random.RandomState(args.seed + 1)
-    lr = args.lr
+            # honor the (possibly plateau-reduced) lr inside the restored
+            # optimizer state — resetting to args.lr would let the next
+            # plateau RAISE the effective rate
+            lr = get_learning_rate(opt_state)
+            logger.info("resumed at epoch %d (lr %g)", start_epoch, lr)
 
     def eval_split(x):
         tot, n_tot = [], 0
@@ -156,10 +153,10 @@ def main():
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
             if random_steps:
-                n_steps = 2 * rng.randint(5, 51)
+                n_steps = 2 * rng.randint(5, 50)  # U{5,49} — randint high is exclusive (`UCIExperiments.py:131`)
             else:
                 n_steps = args.nb_steps
-            nodes, weights = padded_cc_quadrature(n_steps, MAX_STEPS)
+            nodes, weights = padded_cc_quadrature(n_steps, max_steps)
             params, opt_state, loss = train_step(
                 params, opt_state, jnp.asarray(b), nodes, weights
             )

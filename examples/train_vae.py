@@ -30,7 +30,7 @@ from umnn_tpu.models.vae import VAE_FAMILIES, calculate_loss, calculate_loss_arr
 from umnn_tpu.models.vae.iwae import calculate_likelihood
 from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
 from umnn_tpu.training.checkpoint import CheckpointManager
-from umnn_tpu.training.loops import batch_iter, make_optimizer
+from umnn_tpu.training.loops import batch_iter, make_optimizer, make_train_step
 from umnn_tpu.utils.logging import MetricsWriter, get_logger
 
 
@@ -116,18 +116,8 @@ def main():
         )
         return loss, (rec, kl)
 
-    def _step(prm, opt_st, batch, rng, beta):
-        (loss, (rec, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            prm, batch, rng, beta
-        )
-        updates, opt_st = optimizer.update(grads, opt_st, prm)
-        return optax.apply_updates(prm, updates), opt_st, loss, rec, kl
-
-    train_step = jax.jit(
-        _step,
-        in_shardings=(rep, rep, shd, rep, rep),
-        out_shardings=(rep, rep, rep, rep, rep),
-        donate_argnums=(0, 1),
+    train_step = make_train_step(
+        loss_fn, optimizer, mesh, extra_shardings=("rep", "rep"), has_aux=True
     )
     def eval_vec_fn(prm, batch, rng):
         # per-sample loss so eval can skip wrap-padded duplicate rows
@@ -155,7 +145,7 @@ def main():
         losses = []
         for b in batch_iter(data.trn, args.b_size, rng_np):
             key, k = jax.random.split(key)
-            params, opt_state, loss, rec, kl = train_step(
+            params, opt_state, loss, (rec, kl) = train_step(
                 params, opt_state, jnp.asarray(b), k, jnp.float32(beta)
             )
             losses.append(loss)
@@ -178,7 +168,9 @@ def main():
             epoch, beta, train_loss, valid_loss, time.time() - t0,
         )
         if valid_loss < best_valid:
-            best_valid, patience, best_params = valid_loss, 0, params
+            # device-copy: the next epoch's train_step donates params buffers
+            best_valid, patience = valid_loss, 0
+            best_params = jax.tree_util.tree_map(jnp.copy, params)
             ckpt.save_best("valid", params)
         elif args.warmup < epoch:
             patience += 1

@@ -75,30 +75,43 @@ def get_learning_rate(opt_state) -> float:
 
 
 def make_train_step(
-    loss_fn: Callable[[Params, Any], jax.Array],
+    loss_fn: Callable[..., jax.Array],
     optimizer: optax.GradientTransformation,
     mesh=None,
+    extra_shardings: tuple[str, ...] = (),
+    has_aux: bool = False,
 ):
     """Build the jit-compiled SPMD train step.
 
-    ``loss_fn(params, batch) -> scalar``. With a mesh, the state is
-    replicated and the batch axis sharded; gradients come out replicated
-    (XLA all-reduces across the data axis).
+    ``loss_fn(params, batch, *extras) -> scalar`` (or ``(scalar, aux)`` with
+    ``has_aux``). With a mesh, the state is replicated and the batch axis
+    sharded; gradients come out replicated (XLA all-reduces across the data
+    axis). ``extra_shardings`` names the sharding of each extra loss arg
+    after ``batch``: ``"shard"`` for batch-axis arrays (e.g. per-sample
+    labels) or ``"rep"`` for replicated ones (e.g. quadrature weights, rng
+    keys, scalars).
     """
 
-    def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+    def step(params, opt_state, batch, *extras):
+        out, grads = jax.value_and_grad(loss_fn, has_aux=has_aux)(
+            params, batch, *extras
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        loss, aux = out if has_aux else (out, None)
+        if has_aux:
+            return params, opt_state, loss, aux
         return params, opt_state, loss
 
     if mesh is not None:
         rep = replicated(mesh)
         shd = batch_sharded(mesh)
+        extra = tuple(shd if s == "shard" else rep for s in extra_shardings)
+        out_shardings = (rep, rep, rep, rep) if has_aux else (rep, rep, rep)
         return jax.jit(
             step,
-            in_shardings=(rep, rep, shd),
-            out_shardings=(rep, rep, rep),
+            in_shardings=(rep, rep, shd) + extra,
+            out_shardings=out_shardings,
             donate_argnums=(0, 1),
         )
     return jax.jit(step, donate_argnums=(0, 1))

@@ -66,6 +66,11 @@ def main():
     p.add_argument("-folder", default="runs/uci")
     p.add_argument("-load", action="store_true", help="resume from checkpoint")
     p.add_argument("-steps_per_epoch", type=int, default=0, help="0 = full epoch")
+    p.add_argument(
+        "-Lipshitz", type=float, default=0,
+        help="max Lipschitz constant of integrand linears (0 = off; "
+             "reference `UCIExperiments.py:216`, spelling kept)",
+    )
     p.add_argument("-synthetic", action="store_true")
     args = p.parse_args()
 
@@ -161,6 +166,10 @@ def main():
                 params, opt_state, jnp.asarray(b), nodes, weights
             )
             losses.append(loss)
+        if args.Lipshitz > 0:
+            params = model.force_lipschitz(
+                params, jax.random.PRNGKey(args.seed + epoch), args.Lipshitz
+            )
         train_nll = float(jnp.stack(losses).mean())
         valid_nll = eval_split(data.val)
         history["train"].append(train_nll)

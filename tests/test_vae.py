@@ -285,3 +285,24 @@ def test_accum_train_step_matches_full_batch():
     p2, o2, l2 = s_acc({"w": jnp.ones((4,))}, opt.init(w0), batch)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p1["w"]), np.asarray(p2["w"]), atol=1e-5)
+
+
+def test_iwae_tightens_with_more_samples():
+    """IWAE bound is monotone in S in expectation (Burda et al. 2016):
+    with shared randomness, mean ll at S=64 should be >= ll at S=1 minus
+    Monte-Carlo slack."""
+    import jax
+    import numpy as np
+    from umnn_tpu.models.vae.iwae import calculate_likelihood
+    from umnn_tpu.models.vae.vae import VAE
+
+    model = VAE(z_size=4, input_size=(1, 28, 28), input_type="binary")
+    params = model.init(jax.random.PRNGKey(0))
+    x = (np.random.RandomState(1).rand(2, 1, 28, 28) > 0.5).astype(np.float32)
+    ll_1, _ = calculate_likelihood(
+        model, params, x, jax.random.PRNGKey(5), n_samples=8, minibatch=8
+    )
+    ll_64, _ = calculate_likelihood(
+        model, params, x, jax.random.PRNGKey(5), n_samples=64, minibatch=16
+    )
+    assert ll_64 >= ll_1 - 2.0, (ll_1, ll_64)

@@ -124,3 +124,31 @@ def image_grid(images: np.ndarray, out_path: str | Path, ncols: int = 10):
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def plot_training_curves(
+    metrics_path: str | Path, out_path: str | Path, tags: Optional[list] = None
+):
+    """Training-curve figure from a MetricsWriter jsonl stream
+    (`vae_lib/utils/plotting.py:11-104` semantics: one line per tag over
+    steps/epochs)."""
+    import json
+
+    plt = _plt()
+    series: dict = {}
+    with open(metrics_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            series.setdefault(rec["tag"], []).append((rec["step"], rec["value"]))
+    if tags is not None:
+        series = {t: series[t] for t in tags if t in series}
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for tag, pts in sorted(series.items()):
+        pts.sort()
+        ax.plot([p[0] for p in pts], [p[1] for p in pts], label=tag)
+    ax.set_xlabel("epoch")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

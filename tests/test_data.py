@@ -17,11 +17,48 @@ from umnn_tpu.data.uci import UCI_DIMS, load_uci
 @pytest.mark.parametrize("name", TOY_DATASETS)
 def test_toy_generators(name):
     rng = np.random.RandomState(0)
-    x = inf_train_gen(name, rng, batch_size=256)
-    d = 3 if name == "conditionnal_gaussian" else 2
-    assert x.shape == (256, d)
+    out = inf_train_gen(name, rng, batch_size=256)
+    if name == "conditionnal8gaussians":
+        # (x, one-hot context) contract (`toy_data.py:54-73`)
+        x, ctx = out
+        assert ctx.shape == (256, 8)
+        np.testing.assert_array_equal(ctx.sum(axis=1), np.ones(256))
+        assert set(np.unique(ctx)) <= {0.0, 1.0}
+    else:
+        x = out
+    assert x.shape == (256, 2)
     assert x.dtype == np.float32
     assert np.isfinite(x).all()
+
+
+def test_toy_sklearn_distribution_parity():
+    """swissroll noise scale and circles/moons linspace-angle layout match
+    the sklearn samplers the reference calls (`toy_data.py:16-34`)."""
+    rng = np.random.RandomState(0)
+    # swissroll: unit noise pre-rescale => residual sigma 0.2 post /5.
+    # Measure the RMS distance from samples to the clean spiral curve; with
+    # 2-D isotropic sigma=0.2 jitter that RMS is ~0.27 (the curve's own
+    # curvature absorbs a little), decisively above the old 0.05-noise bug.
+    x = inf_train_gen("swissroll", rng, batch_size=4000)
+    t = 1.5 * np.pi * (1 + 2 * np.linspace(0, 1, 4000))
+    curve = np.stack([t * np.cos(t), t * np.sin(t)], axis=1) / 5.0
+    d2 = ((x[:, None, :] - curve[None, :, :]) ** 2).sum(-1).min(axis=1)
+    rms = float(np.sqrt(d2.mean()))
+    assert 0.15 < rms < 0.35, rms
+    # circles: angles are equispaced (linspace) -> per-angular-bin counts are
+    # nearly constant (variance ~ boundary jitter only), while uniformly
+    # RANDOM angles give Poisson counts (variance ~ mean = 50).
+    n = 1000
+    xc = inf_train_gen("circles", np.random.RandomState(2), batch_size=2 * n)
+    outer = xc[:n]
+    ang = np.mod(np.arctan2(outer[:, 1], outer[:, 0]), 2 * np.pi)
+    # equispaced + 0.08-rad jitter measures ~20 (boundary crossings only);
+    # uniformly random angles give multinomial variance ~n*p*(1-p) ~ 47.5
+    counts, _ = np.histogram(ang, bins=20, range=(0, 2 * np.pi))
+    assert counts.var() < 32.0, counts.var()
+    # moons: y-range of the shifted second moon matches sklearn's [-0.5, 0.5]
+    xm = inf_train_gen("moons", np.random.RandomState(3), batch_size=4000)
+    assert xm[:, 1].min() > -2.0 and xm[:, 1].max() < 3.0
 
 
 @pytest.mark.parametrize("name", sorted(UCI_DIMS))

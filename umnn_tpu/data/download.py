@@ -118,7 +118,17 @@ def download(name: str, root: str | Path = DEFAULT_ROOT) -> None:
     if name == "maf_tabular":
         tar_path = _fetch(MAF_DATA_URL, root / "data.tar.gz")
         with tarfile.open(tar_path) as tf:
-            tf.extractall(root, filter="data")
+            try:
+                tf.extractall(root, filter="data")
+            except TypeError:
+                # `filter=` needs Python >= 3.10.12/3.11.4; older patch
+                # releases fall back to a manual path-safety check
+                base = root.resolve()
+                for m in tf.getmembers():
+                    dest = (base / m.name).resolve()
+                    if not str(dest).startswith(str(base)):
+                        raise RuntimeError(f"unsafe tar member path: {m.name}")
+                tf.extractall(root)
         # the archive prefixes everything with 'data/': hoist its contents
         # so loaders find <root>/power/data.npy
         inner = root / "data"

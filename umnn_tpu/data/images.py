@@ -126,20 +126,34 @@ class VAEImageData:
     tst: np.ndarray
     input_size: tuple[int, ...]
     input_type: str  # 'binary' or 'multinomial'
+    # per-train-batch bernoulli(data) draw in the training loop
+    # (`optimization/training.py:28-29`; set per dataset in
+    # `load_data.py:17,61,109,159` — True only for Omniglot here)
+    dynamic_binarization: bool = False
 
 
-def _synthetic_images(input_size, input_type, seed=0, n=(600, 100, 100)):
+def _synthetic_images(
+    input_size, input_type, seed=0, n=(600, 100, 100), dynamic_binarization=False
+):
     rng = np.random.RandomState(seed)
     c, h, w = input_size
     outs = []
-    for count in n:
+    for i, count in enumerate(n):
         x = rng.rand(count, c * h * w)
         if input_type == "binary":
-            x = (x > 0.5).astype(np.float32)
+            if dynamic_binarization and i == 0:
+                # train split stays real-valued: the training loop draws
+                # bernoulli(x) per batch, mirroring the real Omniglot layout
+                x = x.astype(np.float32)
+            else:
+                x = (x > 0.5).astype(np.float32)
         else:
             x = (np.floor(x * 256) / 255.0).astype(np.float32)
         outs.append(x)
-    return VAEImageData(*outs, tuple(input_size), input_type)
+    return VAEImageData(
+        *outs, tuple(input_size), input_type,
+        dynamic_binarization=dynamic_binarization,
+    )
 
 
 def load_static_mnist(root=DEFAULT_ROOT, synthetic=None) -> VAEImageData:
@@ -197,7 +211,7 @@ def load_omniglot(root=DEFAULT_ROOT, seed=0, synthetic=None) -> VAEImageData:
     if synthetic is True or not p.exists():
         if synthetic is False:
             raise FileNotFoundError(p)
-        return _synthetic_images((1, 28, 28), "binary")
+        return _synthetic_images((1, 28, 28), "binary", dynamic_binarization=True)
     from scipy.io import loadmat
 
     raw = loadmat(p)
@@ -210,7 +224,9 @@ def load_omniglot(root=DEFAULT_ROOT, seed=0, synthetic=None) -> VAEImageData:
     np.random.seed(777)  # reference's fixed eval binarization draw
     x_val = np.random.binomial(1, x_val).astype(np.float32)
     tst = np.random.binomial(1, tst).astype(np.float32)
-    return VAEImageData(x_trn, x_val, tst, (1, 28, 28), "binary")
+    return VAEImageData(
+        x_trn, x_val, tst, (1, 28, 28), "binary", dynamic_binarization=True
+    )
 
 
 def load_caltech(root=DEFAULT_ROOT, synthetic=None) -> VAEImageData:

@@ -138,7 +138,11 @@ def _load_hepmass(root: Path) -> TabularData:
     drop = [
         i
         for i, feature in enumerate(trn.T)
-        # most-common value repeating > 5x marks a quasi-discrete feature
+        # the count of the SMALLEST value repeating > 5x flags a
+        # quasi-discrete feature — the reference sorts Counter items by
+        # value-key and takes entry [0] (`hepmass.py:75-81`), i.e. the
+        # minimum's multiplicity, not the most-common value's; replicated
+        # verbatim because the dropped-column set defines the 21-d layout
         if np.array(sorted(Counter(feature).items()))[0, 1] > 5
     ]
     keep = [i for i in range(trn.shape[1]) if i not in drop]

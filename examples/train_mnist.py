@@ -4,8 +4,19 @@ Framework equivalent of the reference driver `MNISTExperiment.py` (CLI
 defaults from `MNISTExperiment.py:228-263`): nb_flow 5, hidden_embedding
 [1024,1024,1024], hidden_derivative [100,50,50,50,50], batch 100, logit-
 dequantized inputs, bits-per-pixel evaluation (`UMNNMAF.py:164-170` with
-its computeLL typo fixed), generation via bisection inversion + logit_back
-(`MNISTExperiment.py:180-196`).
+its computeLL typo fixed), generation via inversion + logit_back
+(`MNISTExperiment.py:180-196`), per-batch Lipschitz projection when
+``-Lipshitz`` > 0 (`MNISTExperiment.py:166-167`).
+
+Randomized-steps mode (``-nb_steps <= 0``): nb_steps ~ 2*U{5,49} resampled
+per batch (`MNISTExperiment.py:152-155`) via zero-padded quadrature nodes —
+one compilation serves all step counts; eval runs at 100 steps (the
+reference's randomized-mode eval convention, `UCIExperiments.py:104-105`).
+
+Temperature-swept generation (``-temp_sweep``): rows are scaled by
+temperatures arange(0.1, 1.1, 0.1), ten consecutive samples per temperature
+(`MNISTExperiment.py:100-116`), with the bpp/ll of the generated batch
+logged (`MNISTExperiment.py:124-126`) and a PNG grid saved.
 
 Usage:
     python examples/train_mnist.py -nb_epoch 2 -synthetic
@@ -26,6 +37,7 @@ import optax
 
 from umnn_tpu.data.images import load_mnist_flow, logit_back
 from umnn_tpu.models.flow import UMNNMAFFlow
+from umnn_tpu.ops.quadrature import padded_cc_quadrature
 from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
 from umnn_tpu.training.checkpoint import BestTracker, CheckpointManager
 from umnn_tpu.training.loops import batch_iter, make_optimizer, make_train_step
@@ -36,7 +48,7 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-nb_epoch", type=int, default=500)
     p.add_argument("-nb_flow", type=int, default=5)
-    p.add_argument("-nb_steps", type=int, default=50)
+    p.add_argument("-nb_steps", type=int, default=50, help="<=0 for randomized")
     p.add_argument("-embedding_s", type=int, default=30)
     p.add_argument("-hidden_embedding", type=int, nargs="+", default=[1024, 1024, 1024])
     p.add_argument(
@@ -49,6 +61,16 @@ def main():
     p.add_argument("-gen", type=int, default=0, help="generate N images at the end")
     p.add_argument("-nb_iter", type=int, default=10, help="inversion iterations")
     p.add_argument("-temperature", type=float, default=0.5)
+    p.add_argument(
+        "-temp_sweep", action="store_true",
+        help="scale generation rows by temperatures 0.1..1.0, 10 rows each "
+             "(`MNISTExperiment.py:100-116`)",
+    )
+    p.add_argument(
+        "-Lipshitz", type=float, default=0,
+        help="per-batch Lipschitz projection bound (0 = off; "
+             "`MNISTExperiment.py:166-167`, reference spelling kept)",
+    )
     p.add_argument("-steps_per_epoch", type=int, default=0)
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-folder", default="runs/mnist")
@@ -67,6 +89,9 @@ def main():
         len(data.tst_x),
     )
 
+    random_steps = args.nb_steps <= 0
+    eval_steps = 100 if random_steps else args.nb_steps
+    max_steps = 100 if random_steps else eval_steps  # 2*U{5,49} tops at 98
     cond_in = 10 if args.conditionnal else 0
     model = UMNNMAFFlow(
         nb_flow=args.nb_flow,
@@ -74,7 +99,7 @@ def main():
         hidden_derivative=tuple(args.hidden_derivative),
         hidden_embedding=tuple(args.hidden_embedding),
         embedding_s=args.embedding_s,
-        nb_steps=args.nb_steps,
+        nb_steps=eval_steps,
         cond_in=cond_in,
     )
     params = model.init(jax.random.PRNGKey(args.seed))
@@ -89,16 +114,28 @@ def main():
     def onehot(y):
         return jax.nn.one_hot(y, 10) if args.conditionnal else None
 
-    def loss_fn(prm, x, y):
-        ll, _ = model.compute_ll(prm, x, context=onehot(y))
+    def loss_fn(prm, x, y, nodes, weights):
+        ll, _ = model.compute_ll(
+            prm, x, context=onehot(y), nodes=nodes, weights=weights
+        )
         return -jnp.mean(ll)
 
     def bpp_fn(prm, x, y):
         bpp, ll, _ = model.compute_bpp(prm, x, context=onehot(y))
         return bpp  # per-sample: lets eval skip wrap-padded dup rows
 
+    # Lipschitz projection after every optimizer step, inside the compiled
+    # step (`MNISTExperiment.py:166-167` projects per batch)
+    post_update = None
+    if args.Lipshitz > 0:
+        lip_key = jax.random.PRNGKey(args.seed + 97)
+
+        def post_update(prm):
+            return model.force_lipschitz(prm, lip_key, args.Lipshitz)
+
     train_step = make_train_step(
-        loss_fn, optimizer, mesh, extra_shardings=("shard",)
+        loss_fn, optimizer, mesh, extra_shardings=("shard", "rep", "rep"),
+        post_update=post_update,
     )
     eval_bpp = jax.jit(bpp_fn, in_shardings=(rep, shd, shd), out_shardings=rep)
 
@@ -127,21 +164,31 @@ def main():
             sel = perm[i : i + args.b_size]
             if len(sel) < args.b_size:
                 break
+            # randomized steps: nb_steps ~ 2*U{5,49} per batch
+            # (`MNISTExperiment.py:152-155`); zero-padded nodes keep the
+            # compiled step shape-stable
+            n_steps = 2 * rng.randint(5, 50) if random_steps else args.nb_steps
+            nodes, weights = padded_cc_quadrature(n_steps, max_steps)
             params, opt_state, loss = train_step(
                 params, opt_state,
                 jnp.asarray(data.trn_x[sel]), jnp.asarray(data.trn_y[sel]),
+                nodes, weights,
             )
             losses.append(loss)
         train_nll = float(jnp.stack(losses).mean())
         valid_bpp = eval_split(data.val_x, data.val_y)
+        # per-epoch test bpp tracking (`MNISTExperiment.py:213-222` logs the
+        # held-out loss every epoch alongside train)
+        test_bpp = eval_split(data.tst_x, data.tst_y)
         metrics.scalar("train_nll", train_nll, epoch)
         metrics.scalar("valid_bpp", valid_bpp, epoch)
+        metrics.scalar("test_bpp", test_bpp, epoch)
         best.update(train_nll, valid_bpp, params)
         if epoch % 5 == 0:
             ckpt.save(epoch, params, opt_state)
         logger.info(
-            "epoch %3d  train NLL %.1f  valid bpp %.4f  (%.1fs)",
-            epoch, train_nll, valid_bpp, time.time() - t0,
+            "epoch %3d  train NLL %.1f  valid bpp %.4f  test bpp %.4f  (%.1fs)",
+            epoch, train_nll, valid_bpp, test_bpp, time.time() - t0,
         )
 
     best.flush()
@@ -155,7 +202,16 @@ def main():
     if args.gen > 0:
         # generation: z ~ N(0, T) -> invert -> logit_back (`MNISTExperiment.py:180-196`)
         key = jax.random.PRNGKey(args.seed + 3)
-        z = jax.random.normal(key, (args.gen, 784)) * args.temperature
+        z = jax.random.normal(key, (args.gen, 784))
+        if args.temp_sweep:
+            # temperature ladder: 10 consecutive rows per temperature in
+            # arange(0.1, 1.1, 0.1) (`MNISTExperiment.py:100-116`)
+            temps = jnp.repeat(
+                jnp.arange(0.1, 1.1, 0.1), max(args.gen // 10, 1)
+            )[: args.gen]
+            z = z * temps[:, None]
+        else:
+            z = z * args.temperature
         ctx = (
             jax.nn.one_hot(jnp.arange(args.gen) % 10, 10)
             if args.conditionnal
@@ -165,8 +221,21 @@ def main():
         # parallel Jacobi-Newton: ~25x fewer integrand sweeps than the
         # reference's dimension-sequential bisection at D=784
         x = model.invert(params, z, iters=5 * args.nb_iter, context=ctx, method="newton")
+        # bpp/ll of the generated batch (`MNISTExperiment.py:124-126`)
+        gen_bpp, gen_ll, _ = model.compute_bpp(params, x, context=ctx)
+        logger.info(
+            "generated-batch bpp %.4f  ll %.4f",
+            float(gen_bpp.mean()), float(gen_ll.mean()),
+        )
         imgs = logit_back(np.asarray(x)).reshape(-1, 28, 28)
         np.save(folder / "generated.npy", imgs)
+        try:
+            from umnn_tpu.utils.visualize import image_grid
+
+            tag = "sweep" if args.temp_sweep else str(args.temperature)
+            image_grid(imgs, folder / f"{tag}images.png", ncols=10)
+        except Exception as e:  # matplotlib optional
+            logger.info("image grid skipped: %s", e)
         logger.info("generated %d images in %.1fs -> %s", args.gen,
                     time.time() - t0, folder / "generated.npy")
     return 0

@@ -112,8 +112,18 @@ def main():
         ll, _ = model.compute_ll(prm, batch, nodes=nodes, weights=weights)
         return -jnp.mean(ll)
 
+    # Lipschitz projection after EVERY optimizer step, fused into the
+    # compiled step (`UCIExperiments.py:145-147` projects per batch)
+    post_update = None
+    if args.Lipshitz > 0:
+        lip_key = jax.random.PRNGKey(args.seed + 97)
+
+        def post_update(prm):
+            return model.force_lipschitz(prm, lip_key, args.Lipshitz)
+
     train_step = make_train_step(
-        loss_fn, optimizer, mesh, extra_shardings=("rep", "rep")
+        loss_fn, optimizer, mesh, extra_shardings=("rep", "rep"),
+        post_update=post_update,
     )
     def nll_vec_fn(prm, batch, nodes, weights):
         ll, _ = model.compute_ll(prm, batch, nodes=nodes, weights=weights)
@@ -166,10 +176,6 @@ def main():
                 params, opt_state, jnp.asarray(b), nodes, weights
             )
             losses.append(loss)
-        if args.Lipshitz > 0:
-            params = model.force_lipschitz(
-                params, jax.random.PRNGKey(args.seed + epoch), args.Lipshitz
-            )
         train_nll = float(jnp.stack(losses).mean())
         valid_nll = eval_split(data.val)
         history["train"].append(train_nll)

@@ -2,11 +2,21 @@
 
 Framework equivalent of the reference driver `TrainVaeFlow.py` +
 `models/vae_lib/optimization/training.py`: Adamax(5e-4, eps 1e-7), beta
-warmup ``min(epoch/warmup, max_beta)`` (`training.py:21`), early stopping
-with patience (`TrainVaeFlow.py:265-292`), NaN guard raising on non-finite
-validation loss (`:291-292`), optional Lipschitz projection for MMAF
-(`training.py:46-48`), final IWAE evaluation with the Monte-Carlo particle
-axis sharded across the device mesh (`log_likelihood.py:8-60`).
+warmup ``min(epoch/warmup, max_beta)`` (`training.py:21`), per-train-batch
+dynamic binarization for Omniglot-style datasets (`training.py:28-29`),
+early stopping with patience (`TrainVaeFlow.py:265-292`), NaN guard raising
+on non-finite validation loss (`:291-292`), per-batch Lipschitz projection
+for MMAF fused into the train step (`training.py:46-48`), reconstruction
+grids each eval epoch + prior-sample grids (`training.py:100-130`,
+`visual_evaluation.py:9-53`), final IWAE evaluation with the Monte-Carlo
+particle axis sharded across the device mesh (`log_likelihood.py:8-60`).
+
+MMAF quadrature-step semantics:
+* training: ``-steps 0`` resamples nb_steps ~ 2*U{10,49} per batch
+  (`flows.py:319-321`) through zero-padded nodes — one compilation serves
+  every step count;
+* validation/test/IWAE always run at nb_steps=100 (`training.py:91-94,
+  169-170`), regardless of the training step count.
 
 Usage:
     python examples/train_vae.py -flow MMAF -nb_epoch 3 -synthetic
@@ -28,10 +38,14 @@ import optax
 from umnn_tpu.data.images import load_vae_dataset
 from umnn_tpu.models.vae import VAE_FAMILIES, calculate_loss, calculate_loss_array
 from umnn_tpu.models.vae.iwae import calculate_likelihood
+from umnn_tpu.ops.quadrature import padded_cc_quadrature
 from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
 from umnn_tpu.training.checkpoint import CheckpointManager
 from umnn_tpu.training.loops import batch_iter, make_optimizer, make_train_step
 from umnn_tpu.utils.logging import MetricsWriter, get_logger
+
+EVAL_STEPS = 100  # MMAF eval quadrature steps (`training.py:91-94`)
+MAX_STEPS = 100  # randomized mode draws 2*U{10,49} -> max 98; pad to 100
 
 
 def main():
@@ -60,6 +74,10 @@ def main():
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-folder", default="runs/vae")
     p.add_argument("-synthetic", action="store_true")
+    p.add_argument(
+        "-plot_every", type=int, default=1,
+        help="reconstruction/prior-sample grid cadence in epochs (0 = off)",
+    )
     args = p.parse_args()
 
     folder = Path(args.folder) / f"{args.dataset}_{args.flow}"
@@ -97,6 +115,8 @@ def main():
             embedding_size=args.embedding_size,
             nb_steps=args.steps if args.steps > 0 else 50,
         )
+    is_mmaf = fam == "MMAF"
+    random_steps = is_mmaf and args.steps == 0  # `flows.py:319-321`
     model = VAE_FAMILIES[fam](**kw)
     params = model.init(jax.random.PRNGKey(args.seed))
     n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
@@ -107,22 +127,48 @@ def main():
     mesh = data_mesh()
     rep, shd = replicated(mesh), batch_sharded(mesh)
 
-    def loss_fn(prm, batch, rng, beta):
+    # quadrature arrays (MMAF only): train at the (possibly random) step
+    # count, eval ALWAYS at 100 steps (`training.py:91-94,169-170`); both
+    # padded to one shape so a single compilation serves them
+    quad = {}
+    if is_mmaf:
+        eval_nodes, eval_weights = padded_cc_quadrature(EVAL_STEPS, MAX_STEPS)
+        quad = dict(nodes=eval_nodes, weights=eval_weights)
+
+    def apply_model(prm, x, rng, nodes=None, weights=None):
+        if is_mmaf:
+            return model.apply(prm, x, rng, nodes=nodes, weights=weights)
+        return model.apply(prm, x, rng)
+
+    def loss_fn(prm, batch, rng, beta, nodes, weights):
         x = batch.reshape(-1, c, hh, ww)
-        x_mean, z_mu, z_var, ldj, z0, zk = model.apply(prm, x, rng)
+        x_mean, z_mu, z_var, ldj, z0, zk = apply_model(prm, x, rng, nodes, weights)
         loss, rec, kl = calculate_loss(
             x_mean, x, z_mu, z_var, z0, zk, ldj,
             data.input_type, data.input_size, beta,
         )
         return loss, (rec, kl)
 
+    # per-batch Lipschitz projection fused into the compiled step
+    # (`training.py:46-48` projects after every opt.step)
+    post_update = None
+    if is_mmaf and args.Lipshitz > 0:
+        lip_key = jax.random.PRNGKey(args.seed + 97)
+
+        def post_update(prm):
+            return model.force_lipschitz(prm, lip_key, args.Lipshitz)
+
     train_step = make_train_step(
-        loss_fn, optimizer, mesh, extra_shardings=("rep", "rep"), has_aux=True
+        loss_fn, optimizer, mesh,
+        extra_shardings=("rep", "rep", "rep", "rep"), has_aux=True,
+        post_update=post_update,
     )
+
     def eval_vec_fn(prm, batch, rng):
-        # per-sample loss so eval can skip wrap-padded duplicate rows
+        # per-sample loss so eval can skip wrap-padded duplicate rows;
+        # MMAF evaluates at 100 quadrature steps (`training.py:91-94`)
         x = batch.reshape(-1, c, hh, ww)
-        x_mean, z_mu, z_var, ldj, z0, zk = model.apply(prm, x, rng)
+        x_mean, z_mu, z_var, ldj, z0, zk = apply_model(prm, x, rng, **quad)
         return calculate_loss_array(
             x_mean, x, z_mu, z_var, z0, zk, ldj,
             data.input_type, data.input_size,
@@ -131,6 +177,23 @@ def main():
     eval_step = jax.jit(
         eval_vec_fn, in_shardings=(rep, shd, rep), out_shardings=rep
     )
+
+    def recon_fn(prm, batch, rng):
+        x = batch.reshape(-1, c, hh, ww)
+        x_mean, *_ = apply_model(prm, x, rng, **quad)
+        return x_mean
+
+    recon_step = jax.jit(recon_fn, in_shardings=(rep, shd, rep), out_shardings=rep)
+    sample_step = jax.jit(model.decode, in_shardings=(rep, rep), out_shardings=rep)
+
+    def to_pixels(x_mean):
+        """Render a decoder mean as [N,H,W(,C)] images in [0,1]
+        (`visual_evaluation.py:11-16`: multinomial -> argmax/255)."""
+        x = np.asarray(x_mean)
+        if data.input_type == "multinomial":
+            x = x.reshape(-1, 256, c, hh, ww).argmax(axis=1) / 255.0
+        x = x.reshape(-1, c, hh, ww)
+        return x[:, 0] if c == 1 else np.moveaxis(x, 1, -1)
 
     ckpt = CheckpointManager(folder / "ckpt")
     rng_np = np.random.RandomState(args.seed + 1)
@@ -144,14 +207,23 @@ def main():
         )  # beta-warmup (`training.py:21`)
         losses = []
         for b in batch_iter(data.trn, args.b_size, rng_np):
+            if data.dynamic_binarization:
+                # per-batch bernoulli(data) draw (`training.py:28-29`)
+                b = rng_np.binomial(1, b).astype(np.float32)
+            if random_steps:
+                # nb_steps ~ 2*U{10,49} per batch (`flows.py:319-321`)
+                n_steps = 2 * rng_np.randint(10, 50)
+                nodes, weights = padded_cc_quadrature(n_steps, MAX_STEPS)
+            elif is_mmaf:
+                nodes, weights = padded_cc_quadrature(args.steps, MAX_STEPS)
+            else:
+                nodes = weights = jnp.zeros(0)  # unused by non-MMAF models
             key, k = jax.random.split(key)
             params, opt_state, loss, (rec, kl) = train_step(
-                params, opt_state, jnp.asarray(b), k, jnp.float32(beta)
+                params, opt_state, jnp.asarray(b), k, jnp.float32(beta),
+                nodes, weights,
             )
             losses.append(loss)
-        if fam == "MMAF" and args.Lipshitz > 0:
-            key, k = jax.random.split(key)
-            params = model.force_lipschitz(params, k, args.Lipshitz)
         vloss, v_n = [], 0
         for b, nv in batch_iter(data.val, args.b_size, rng_np, shuffle=False, with_counts=True):
             key, k = jax.random.split(key)
@@ -167,6 +239,35 @@ def main():
             "epoch %3d  beta %.3f  train %.2f  valid %.2f  (%.1fs)",
             epoch, beta, train_loss, valid_loss, time.time() - t0,
         )
+        # reconstruction + prior-sample grids on the first valid batch
+        # (`training.py:100-130`, `visual_evaluation.py:9-53`)
+        if args.plot_every and epoch % args.plot_every == 0:
+            try:
+                from umnn_tpu.utils.visualize import image_grid
+
+                rdir = folder / "reconstruction"
+                rdir.mkdir(exist_ok=True)
+                vb = data.val[: args.b_size]
+                if len(vb) < args.b_size:  # static shapes for the jit
+                    vb = np.concatenate([vb, vb[: args.b_size - len(vb)]])
+                key, k1, k2 = jax.random.split(key, 3)
+                if epoch == 0:
+                    image_grid(
+                        to_pixels(vb.reshape(-1, c, hh, ww))[:9],
+                        rdir / "real.png", ncols=3,
+                    )
+                xm = recon_step(params, jnp.asarray(vb), k1)
+                image_grid(
+                    to_pixels(xm)[:9],
+                    rdir / f"{epoch}_elbo_{valid_loss:.4f}.png", ncols=3,
+                )
+                zs = jax.random.normal(k2, (9, args.z_size))
+                image_grid(
+                    to_pixels(sample_step(params, zs))[:9],
+                    rdir / f"{epoch}_prior_samples.png", ncols=3,
+                )
+            except Exception as e:  # matplotlib optional
+                logger.info("plots skipped: %s", e)
         if valid_loss < best_valid:
             # device-copy: the next epoch's train_step donates params buffers
             best_valid, patience = valid_loss, 0
@@ -188,6 +289,7 @@ def main():
     ll_mean, _ = calculate_likelihood(
         model, best_params, tst, k, n_samples=n_s,
         minibatch=args.iwae_minibatch, mesh=mesh,
+        apply_kwargs=quad or None,  # MMAF IWAE at 100 steps (`training.py:169-170`)
     )
     logger.info("FINAL test IWAE ll: %.4f (S=%d)", ll_mean, n_s)
     print(json.dumps({

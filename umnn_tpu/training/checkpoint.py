@@ -123,8 +123,9 @@ class BestTracker:
     Best params are held as (immutable) device arrays and written to disk
     only by :meth:`flush` — the reference's save-to-disk-per-improvement
     (`torch.save` each epoch) costs a full device->host transfer per epoch.
-    ``flush()`` is also called implicitly by ``load_best`` via the manager's
-    files, so drivers should flush before final evaluation.
+    ``CheckpointManager.load_best`` only reads files already on disk, so
+    drivers MUST call ``flush()`` before it (or use :meth:`best_params`,
+    which serves pending in-memory stashes directly).
     """
 
     manager: CheckpointManager

@@ -80,6 +80,7 @@ def make_train_step(
     mesh=None,
     extra_shardings: tuple[str, ...] = (),
     has_aux: bool = False,
+    post_update: Optional[Callable[[Params], Params]] = None,
 ):
     """Build the jit-compiled SPMD train step.
 
@@ -90,6 +91,13 @@ def make_train_step(
     after ``batch``: ``"shard"`` for batch-axis arrays (e.g. per-sample
     labels) or ``"rep"`` for replicated ones (e.g. quadrature weights, rng
     keys, scalars).
+
+    ``post_update``: optional params -> params projection applied after the
+    optimizer update *inside* the compiled step — e.g. the Lipschitz weight
+    projection the reference runs after every ``opt.step()``
+    (`UCIExperiments.py:145-147`, `MNISTExperiment.py:166-167`,
+    `training.py:46-48`). Fusing it into the step keeps the per-batch cadence
+    without an extra device dispatch.
     """
 
     def step(params, opt_state, batch, *extras):
@@ -98,6 +106,8 @@ def make_train_step(
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if post_update is not None:
+            params = post_update(params)
         loss, aux = out if has_aux else (out, None)
         if has_aux:
             return params, opt_state, loss, aux

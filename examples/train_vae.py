@@ -215,7 +215,9 @@ def main():
                 n_steps = 2 * rng_np.randint(10, 50)
                 nodes, weights = padded_cc_quadrature(n_steps, MAX_STEPS)
             elif is_mmaf:
-                nodes, weights = padded_cc_quadrature(args.steps, MAX_STEPS)
+                # static mode: no padding (zero-weight nodes still cost
+                # integrand evaluations in both sweeps)
+                nodes, weights = padded_cc_quadrature(args.steps, args.steps)
             else:
                 nodes = weights = jnp.zeros(0)  # unused by non-MMAF models
             key, k = jax.random.split(key)

@@ -52,12 +52,18 @@ def test_forward_matches_oracle(setup):
     np.testing.assert_allclose(z_k, z_o, rtol=1e-5, atol=1e-6)
 
 
-def test_all_gradients_match_oracle(setup):
+@pytest.mark.parametrize("dw_mode", ["per_layer", "batched"])
+def test_all_gradients_match_oracle(setup, dw_mode):
     layers, ws, bs, x, h, nodes, ccw = setup
 
     def loss_k(ws, bs, x, h):
         return jnp.sum(
-            jnp.sin(fused_cc_integral(ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True))
+            jnp.sin(
+                fused_cc_integral(
+                    ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True,
+                    dw_mode=dw_mode,
+                )
+            )
         )
 
     def loss_o(layers, x, h):

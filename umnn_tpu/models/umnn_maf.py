@@ -204,6 +204,11 @@ class UMNNMAF:
     backend: str = "auto"
     # folded-row threshold for auto backend selection
     pallas_min_rows: int = 16384
+    # fused-kernel tuning (see ops/integrand_kernel.py): rows per grid tile,
+    # quadrature nodes folded per matmul M-block, dW contraction strategy
+    pallas_tile_r: int = 128
+    pallas_node_chunk: int = 16
+    pallas_dw_mode: str = "per_layer"
 
     def __post_init__(self):
         net = EmbeddingNetwork(
@@ -280,6 +285,9 @@ class UMNNMAF:
                 nodes,
                 weights,
                 neg_slope=0.01,
+                tile_r=self.pallas_tile_r,
+                node_chunk=self.pallas_node_chunk,
+                dw_mode=self.pallas_dw_mode,
             )
         elif self.solver == "CC":
             # node-sequential low-memory path (`NeuralIntegral.py:37-99`)

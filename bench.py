@@ -39,8 +39,11 @@ HIDDEN_EMB = (512, 512)
 HIDDEN_DER = (50, 50, 50, 50)
 
 
-def _timed(fn, args, iters, scalarize):
-    """Per-call seconds: enqueue ``iters`` calls, drain with one readback."""
+def _timed(fn, args, iters, scalarize, rounds=5):
+    """Per-call seconds over ``rounds`` windows: enqueue ``iters`` calls,
+    drain with one readback. Returns (min, median) across rounds — the chip
+    is time-shared and run-to-run throughput drifts 2-3x, so the min is the
+    capability number and the median the expectation."""
     out = fn(*args)
     _ = float(scalarize(out))
     floor = 1e9
@@ -49,14 +52,14 @@ def _timed(fn, args, iters, scalarize):
         out = fn(*args)
         _ = float(scalarize(out))
         floor = min(floor, time.perf_counter() - t0)  # 1 call + readback RTT
-    best = 1e9
-    for _ in range(3):
+    times = []
+    for _ in range(rounds):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
         _ = float(scalarize(out))
-        best = min(best, time.perf_counter() - t0)
-    return (best - floor) / (iters - 1)
+        times.append((time.perf_counter() - t0 - floor) / (iters - 1))
+    return min(times), float(np.median(times))
 
 
 def bench_jax():
@@ -93,6 +96,36 @@ def bench_jax():
                 if attempt == 2:
                     print(f"backend {backend} failed: {e}", file=sys.stderr)
     return results
+
+
+# chip nominal peak (TPU v5e: ~197 TFLOP/s bf16 MXU; f32 matmuls measured
+# sustaining ~172 TF/s on this chip — see CLAUDE.md). MFU uses the nominal
+# peak so the number stays honest against the marketing roofline.
+PEAK_TFLOPS = 197.0
+
+
+def useful_flops_per_step():
+    """Useful training FLOPs per step at the parity config (SURVEY §7.10).
+
+    Counted on UNPADDED shapes (padding is overhead, not useful work):
+    * integrand MLP row: 2 * sum(din*dout) over [1+E, *HIDDEN_DER, 1];
+      rows per sweep = B*(N+1)*D.
+      Train step sweeps: forward (1x), backward recompute (1x), backward
+      VJP dW+dx chain (~2x), log-jac endpoint (B*D rows) and the two
+      Leibniz endpoint evals (2*B*D rows).
+    * MADE conditioner [D, *HIDDEN_EMB, D*(E+1)]: forward + ~2x backward.
+    """
+    f_row = 2 * sum(
+        a * b
+        for a, b in zip([1 + E, *HIDDEN_DER], [*HIDDEN_DER, 1])
+    )
+    sweep_rows = B * (N + 1) * D
+    endpoint_rows = 3 * B * D
+    integrand = f_row * (4 * sweep_rows + endpoint_rows)
+    made_sizes = [D, *HIDDEN_EMB, D * (E + 1)]
+    f_made = 2 * sum(a * b for a, b in zip(made_sizes[:-1], made_sizes[1:]))
+    made = 3 * f_made * B
+    return integrand + made
 
 
 def bench_torch_reference():
@@ -161,7 +194,7 @@ def main():
     if not results:
         print("bench: all backends failed; see stderr", file=sys.stderr)
         return 1
-    best = min(results.values())
+    best = min(t_min for t_min, _ in results.values())
     torch_dt = bench_torch_reference()
 
     # evals per train step: fwd sweep (N+1) + bwd sweep (N+1) + log-jac
@@ -171,16 +204,25 @@ def main():
     torch_evals_per_step = B * D * 2 * (N + 1)
     value = evals_per_step / best
     baseline = torch_evals_per_step / torch_dt
-    print(
-        json.dumps(
-            {
-                "metric": "quadrature-point integrand-MLP evals/s/chip (UCI parity config, fwd+bwd train step)",
-                "value": round(value, 1),
-                "unit": "evals/s",
-                "vs_baseline": round(value / baseline, 3),
-            }
-        )
-    )
+
+    # honest absolute story: useful-FLOPs roofline (SURVEY §7 step 10)
+    flops_step = useful_flops_per_step()
+    tflops_eff = flops_step / best / 1e12
+    out = {
+        "metric": "quadrature-point integrand-MLP evals/s/chip (UCI parity config, fwd+bwd train step)",
+        "value": round(value, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(value / baseline, 3),
+        "tflops_effective": round(tflops_eff, 3),
+        "mfu": round(tflops_eff / PEAK_TFLOPS, 4),
+        "peak_tflops_assumed": PEAK_TFLOPS,
+        "useful_flops_per_step": flops_step,
+        "backends_ms": {
+            k: {"min": round(t_min * 1e3, 3), "median": round(t_med * 1e3, 3)}
+            for k, (t_min, t_med) in results.items()
+        },
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -197,17 +197,20 @@ class UMNNMAF:
     act_func: str = "ELU"
     solver: str = "CCParallel"
     # "auto": on TPU, pick the fused Pallas kernel when the folded row count
-    # B*D is large enough that the XLA megabatch VJP becomes HBM-bound
-    # (measured crossover ~16k rows on v5e: at the UCI parity config XLA wins
-    # ~0.5ms vs 1.2ms/step, at the MNIST config the fused kernel wins
-    # 31ms vs 41ms); "xla"/"pallas" force a path.
+    # B*D is large enough that the XLA megabatch VJP becomes HBM-bound.
+    # The crossover depends on the integrand width (both pad to 128 lanes,
+    # so Pallas cost is width-independent while XLA's grows with width):
+    # scripts/backend_crossover.py measured ~12k rows at width 50 and
+    # <=4k rows at width 100 (v5e, N=50). "xla"/"pallas" force a path.
     backend: str = "auto"
-    # folded-row threshold for auto backend selection
-    pallas_min_rows: int = 16384
+    # folded-row threshold for auto backend selection; None = width-aware
+    # default from the measured crossovers above
+    pallas_min_rows: int | None = None
     # fused-kernel tuning (see ops/integrand_kernel.py): rows per grid tile,
-    # quadrature nodes folded per matmul M-block, dW contraction strategy
+    # quadrature nodes folded per matmul M-block (None = all nodes in one
+    # chunk when VMEM allows — measured fastest), dW contraction strategy
     pallas_tile_r: int = 128
-    pallas_node_chunk: int = 16
+    pallas_node_chunk: int | None = None
     pallas_dw_mode: str = "per_layer"
 
     def __post_init__(self):
@@ -256,6 +259,9 @@ class UMNNMAF:
     ) -> jax.Array:
         z0 = h[..., : self.input_size]  # first embedding block (`UMNNMAF.py:80`)
         n_rows = int(np.prod(x.shape))
+        min_rows = self.pallas_min_rows
+        if min_rows is None:
+            min_rows = 12288 if max(self.hidden_derivative, default=0) <= 64 else 4096
         use_pallas = self.solver == "CCParallel" and len(
             self.hidden_derivative
         ) >= 1 and (
@@ -263,7 +269,7 @@ class UMNNMAF:
             or (
                 self.backend == "auto"
                 and pallas_available()
-                and n_rows >= self.pallas_min_rows
+                and n_rows >= min_rows
             )
         )
         if use_pallas and self.act_func == "ELU":

@@ -465,7 +465,7 @@ def fused_cc_integral(
     ccw: jax.Array,
     *,
     tile_r: int = 128,
-    node_chunk: int = 16,
+    node_chunk: int | None = None,
     interpret: bool | None = None,
     neg_slope: float = 0.01,
     dw_mode: str = "per_layer",
@@ -493,6 +493,16 @@ def fused_cc_integral(
         interpret = not pallas_available()
     nodes = nodes.reshape(-1, 1).astype(jnp.float32)
     ccw = ccw.reshape(-1, 1).astype(jnp.float32)
+    if node_chunk is None:
+        # Default: fold ALL nodes into one chunk when the activation
+        # working set fits VMEM — zero padding nodes and no chunk loop.
+        # (nc=16 pads K=51 -> 64, wasting 25% of every node sweep; the
+        # nc=K config measured 26.4 ms vs 30.4 ms per MNIST-config train
+        # step, scripts/ab_kernel_bench.py.) Rough working set: one
+        # [K*tile_r, 128] f32 buffer per layer plus ~3 temporaries.
+        K = nodes.shape[0]
+        est = K * tile_r * LANE * 4 * (len(ws) + 3)
+        node_chunk = K if est <= 80 * 1024 * 1024 else 16
     return _fused_integral(
         list(ws), list(bs), x, h, (nodes, ccw), tile_r, node_chunk, interpret,
         neg_slope, dw_mode,

@@ -232,10 +232,6 @@ def _bwd_kernel(
         # the S/2 product-rule term is applied host-side from this output)
         s_acc = s_acc + jnp.sum(w3 * fL.reshape(NC, T, 1), axis=0)  # [T, 1]
         ct = (w3 * gx[None]).reshape(NC * T, 1)  # [NC*T, 1]
-        out_cols = jax.lax.broadcasted_iota(
-            jnp.int32, (NC * T, ws[n_layers - 1].shape[1]), 1
-        )
-        dz = jnp.where(out_cols == 0, ct * jnp.minimum(fL, 1.0), 0.0)
         # dW/db accumulate straight into the output refs (read-modify-write;
         # the grid is sequential and the node-chunk loop is in-kernel), so
         # the fori_loop carries only dfeat — carried tensors cost a VMEM
@@ -243,6 +239,10 @@ def _bwd_kernel(
         if dw_mode == "batched" and all(
             w.shape == ws[1].shape for w in ws[1:]
         ):
+            out_cols = jax.lax.broadcasted_iota(
+                jnp.int32, (NC * T, ws[n_layers - 1].shape[1]), 1
+            )
+            dz = jnp.where(out_cols == 0, ct * jnp.minimum(fL, 1.0), 0.0)
             # One [(L-1)*128]-wide contraction instead of L-1 separate
             # row-contractions: concat acts/dz along lanes and keep only the
             # diagonal blocks of A_cat^T @ DZ_cat. (L-1)x padded FLOPs, one
@@ -263,7 +263,27 @@ def _bwd_kernel(
                 blk = dw_big[(i - 1) * H : i * H, (i - 1) * H : i * H]
                 dws[i][:] += blk
         else:
-            for i in range(n_layers - 1, 0, -1):
+            # Output layer special case: dz_L has ONE real column, so its
+            # dW contraction is a VPU reduction (stored TRANSPOSED in row 0
+            # of the dW ref — un-transposed host-side, `_fused_vjp_bwd`)
+            # and the dz chain through W_L is a rank-1 broadcast. Removes
+            # the two most expensive MXU ops (one of them lhs-transposed)
+            # per chunk.
+            dzL = ct * jnp.minimum(fL, 1.0)  # [M, 1]
+            aL = acts[n_layers - 2]
+            dwL_row = jnp.sum(aL * dzL, axis=0, keepdims=True)  # [1, H]
+            rowsL = jax.lax.broadcasted_iota(
+                jnp.int32, dws[n_layers - 1].shape, 0
+            )
+            dws[n_layers - 1][:] += jnp.where(rowsL == 0, dwL_row, 0.0)
+            dbL = jnp.sum(dzL, axis=0, keepdims=True)  # [1, 1]
+            colsLb = jax.lax.broadcasted_iota(
+                jnp.int32, dbs[n_layers - 1].shape, 1
+            )
+            dbs[n_layers - 1][:] += jnp.where(colsLb == 0, dbL, 0.0)
+            da = dzL * wTs[n_layers - 1][0:1, :]  # [M, H] rank-1
+            dz = da * jnp.where(aL > 0, 1.0, neg_slope)
+            for i in range(n_layers - 2, 0, -1):
                 dws[i][:] += contract_rows(acts[i - 1], dz)
                 dbs[i][:] += jnp.sum(dz, axis=0, keepdims=True)
                 da = jnp.dot(dz, wTs[i], preferred_element_type=jnp.float32)
@@ -448,6 +468,13 @@ def _fused_vjp_bwd(tile_r, node_chunk, interpret, neg_slope, dw_mode, res, g):
     prod_term = g * s_sum[:R, 0].reshape(batch_shape) * 0.5
     dx = dfeat[:, 0].reshape(batch_shape) + prod_term
     dh = dfeat[:, 1 : 1 + e].reshape(*batch_shape, e).astype(h.dtype)
+    batched_active = dw_mode == "batched" and all(
+        w.shape == pw[1].shape for w in pw[1:]
+    )  # must mirror the kernel's branch predicate exactly
+    if not batched_active:
+        # per-layer kernel stores the output layer's dW transposed (its
+        # single real column accumulated as row 0 via a VPU reduction)
+        dpw = list(dpw[:-1]) + [dpw[-1].T]
     dws = [dw[: w.shape[0], : w.shape[1]].astype(w.dtype) for dw, w in zip(dpw, ws)]
     dbs = [db[0, : b.shape[0]].astype(b.dtype) for db, b in zip(dpb, bs)]
     return (dws, dbs, dx.astype(x.dtype), dh, (jnp.zeros_like(nodes_ccw[0]), jnp.zeros_like(nodes_ccw[1])))

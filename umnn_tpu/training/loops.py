@@ -15,6 +15,7 @@ jit-once implementation:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Iterator, Optional
 
@@ -26,6 +27,36 @@ import optax
 from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
 
 Params = Any
+
+# substrings marking *transient* remote-compile failures (seen on the
+# tunneled TPU service): safe to retry because nothing executed — input
+# buffers (incl. donated ones) are only consumed on successful dispatch
+_TRANSIENT_ERRORS = ("remote_compile", "response body closed", "DEADLINE_EXCEEDED")
+
+
+def retry_transient(fn: Callable, retries: int = 3, base_delay: float = 5.0):
+    """Wrap a jitted step: retry transient remote-compile failures.
+
+    A flaky compile service otherwise kills multi-hour training runs at the
+    first step (it ended one round-2 MNIST run). Non-transient errors and
+    exhausted retries re-raise unchanged.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        for attempt in range(retries):
+            try:
+                return fn(*args, **kwargs)
+            except jax.errors.JaxRuntimeError as e:
+                msg = str(e)
+                if attempt == retries - 1 or not any(
+                    t in msg for t in _TRANSIENT_ERRORS
+                ):
+                    raise
+                time.sleep(base_delay * (attempt + 1))
+        raise AssertionError("unreachable")
+
+    return wrapped
 
 
 @dataclasses.dataclass
@@ -118,13 +149,13 @@ def make_train_step(
         shd = batch_sharded(mesh)
         extra = tuple(shd if s == "shard" else rep for s in extra_shardings)
         out_shardings = (rep, rep, rep, rep) if has_aux else (rep, rep, rep)
-        return jax.jit(
+        return retry_transient(jax.jit(
             step,
             in_shardings=(rep, rep, shd) + extra,
             out_shardings=out_shardings,
             donate_argnums=(0, 1),
-        )
-    return jax.jit(step, donate_argnums=(0, 1))
+        ))
+    return retry_transient(jax.jit(step, donate_argnums=(0, 1)))
 
 
 def make_accum_train_step(
@@ -181,8 +212,10 @@ def make_eval_step(loss_fn: Callable[[Params, Any], jax.Array], mesh=None):
     if mesh is not None:
         rep = replicated(mesh)
         shd = batch_sharded(mesh)
-        return jax.jit(loss_fn, in_shardings=(rep, shd), out_shardings=rep)
-    return jax.jit(loss_fn)
+        return retry_transient(
+            jax.jit(loss_fn, in_shardings=(rep, shd), out_shardings=rep)
+        )
+    return retry_transient(jax.jit(loss_fn))
 
 
 @dataclasses.dataclass

@@ -306,3 +306,30 @@ def test_iwae_tightens_with_more_samples():
         model, params, x, jax.random.PRNGKey(5), n_samples=64, minibatch=16
     )
     assert ll_64 >= ll_1 - 2.0, (ll_1, ll_64)
+
+
+def test_iwae_tail_chunk_mesh_divisibility():
+    """The shrunken tail chunk must stay divisible by the mesh: n_data=3
+    with data_chunk=2 and minibatch=2 on the 8-device mesh forces the
+    c_pad padding path (2 rows -> 8); results are finite, deterministic,
+    and per-datapoint."""
+    import jax
+    import numpy as np
+    from umnn_tpu.models.vae.iwae import calculate_likelihood
+    from umnn_tpu.models.vae.vae import VAE
+    from umnn_tpu.parallel.mesh import data_mesh
+
+    mesh = data_mesh(jax.devices("cpu")[:8])
+    model = VAE(z_size=4, input_size=(1, 28, 28), input_type="binary")
+    params = model.init(jax.random.PRNGKey(0))
+    x = (np.random.RandomState(1).rand(3, 1, 28, 28) > 0.5).astype(np.float32)
+    ll_a, per_a = calculate_likelihood(
+        model, params, x, jax.random.PRNGKey(7), n_samples=4, minibatch=2,
+        data_chunk=2, mesh=mesh,
+    )
+    ll_b, per_b = calculate_likelihood(
+        model, params, x, jax.random.PRNGKey(7), n_samples=4, minibatch=2,
+        data_chunk=2, mesh=mesh,
+    )
+    assert np.isfinite(per_a).all() and per_a.shape == (3,)
+    np.testing.assert_array_equal(per_a, per_b)

@@ -12,7 +12,7 @@ echo "== bench =="
 python bench.py
 
 echo "== wheel =="
-python -m pip wheel --no-deps -w dist . 2>/dev/null \
+python -m pip wheel --no-deps --no-build-isolation -w dist . 2>/dev/null \
   || python -m build --wheel 2>/dev/null \
   || echo "wheel build skipped (no build frontend available)"
 

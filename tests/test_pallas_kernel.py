@@ -45,15 +45,21 @@ def oracle(layers, x, h, neg_slope=0.01):
     return out.reshape(x.shape)
 
 
-def test_forward_matches_oracle(setup):
+@pytest.mark.parametrize("pack2", [False, True])
+def test_forward_matches_oracle(setup, pack2):
     layers, ws, bs, x, h, nodes, ccw = setup
-    z_k = fused_cc_integral(ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True)
+    z_k = fused_cc_integral(
+        ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True, pack2=pack2
+    )
     z_o = oracle(layers, x, h)
     np.testing.assert_allclose(z_k, z_o, rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("dw_mode", ["per_layer", "batched"])
-def test_all_gradients_match_oracle(setup, dw_mode):
+@pytest.mark.parametrize(
+    "dw_mode,pack2",
+    [("per_layer", False), ("batched", False), ("per_layer", True)],
+)
+def test_all_gradients_match_oracle(setup, dw_mode, pack2):
     layers, ws, bs, x, h, nodes, ccw = setup
 
     def loss_k(ws, bs, x, h):
@@ -61,7 +67,7 @@ def test_all_gradients_match_oracle(setup, dw_mode):
             jnp.sin(
                 fused_cc_integral(
                     ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True,
-                    dw_mode=dw_mode,
+                    dw_mode=dw_mode, pack2=pack2,
                 )
             )
         )

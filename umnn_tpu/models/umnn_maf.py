@@ -212,6 +212,8 @@ class UMNNMAF:
     pallas_tile_r: int = 128
     pallas_node_chunk: int | None = None
     pallas_dw_mode: str = "per_layer"
+    # 2-node lane packing (None = auto when every layer fits 64 lanes)
+    pallas_pack2: bool | None = None
 
     def __post_init__(self):
         net = EmbeddingNetwork(
@@ -261,7 +263,16 @@ class UMNNMAF:
         n_rows = int(np.prod(x.shape))
         min_rows = self.pallas_min_rows
         if min_rows is None:
-            min_rows = 12288 if max(self.hidden_derivative, default=0) <= 64 else 4096
+            wide = max(self.hidden_derivative, default=0)
+            if wide <= 64 and (1 + self.embedding_s) <= 64:
+                # pack2-eligible: the packed kernel beats XLA from ~2.5k
+                # folded rows (scripts/pack2_ab.py: 0.607 vs 0.643 ms at
+                # 3000 rows, UCI parity config)
+                min_rows = 2560
+            elif wide <= 64:
+                min_rows = 12288
+            else:
+                min_rows = 4096
         use_pallas = self.solver == "CCParallel" and len(
             self.hidden_derivative
         ) >= 1 and (
@@ -294,6 +305,7 @@ class UMNNMAF:
                 tile_r=self.pallas_tile_r,
                 node_chunk=self.pallas_node_chunk,
                 dw_mode=self.pallas_dw_mode,
+                pack2=self.pallas_pack2,
             )
         elif self.solver == "CC":
             # node-sequential low-memory path (`NeuralIntegral.py:37-99`)

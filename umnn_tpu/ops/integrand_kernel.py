@@ -317,6 +317,263 @@ def _bwd_kernel(
     s_ref[:] = s_sum
 
 
+# ---------------------------------------------------------------------------
+# 2-node lane packing (pack2): for integrands whose widths fit in 64 lanes
+# (the UCI shape: 1+e = 31 inputs, 50-wide hidden), TWO quadrature nodes ride
+# each matmul row via block-diagonal weights — doubling lane occupancy and
+# halving the folded M dimension. The Pallas path at these configs is
+# MXU-bound on ~6x padded FLOPs (scripts/uci_tile_probe.py), so packing cuts
+# the padded work ~2x. Feature layout per row: [x, h, x, h] with the two x
+# columns scaled by different node positions; weight blocks per layer:
+# diag(W, W) (output layer: two one-hot columns). Cross-block gradient
+# blocks are discarded and the two diagonal blocks summed host-side.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_p2(
+    na_ref, nb_ref, ca_ref, cb_ref, feat_ref, *rest,
+    neg_slope, node_chunk, k_pad, x2_col,
+):
+    n_layers = len(rest) // 2
+    ws = rest[:n_layers]
+    bs = rest[n_layers : 2 * n_layers]
+    out_ref = rest[2 * n_layers]
+    feat = feat_ref[:]
+    T = feat.shape[0]
+    NC = node_chunk
+    n_chunks = k_pad // NC
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, feat.shape, 1)
+    x_end = feat[:, 0:1]
+
+    feat_h = jnp.where((col_ids == 0) | (col_ids == x2_col), 0.0, feat)
+    ph = (
+        jnp.dot(feat_h, ws[0][:], preferred_element_type=jnp.float32) + bs[0][:]
+    )
+    w1xa = ws[0][0:1, :]
+    w1xb = ws[0][x2_col : x2_col + 1, :]
+    H1 = ph.shape[1]
+
+    def chunk_body(c, acc):
+        sa3 = ((na_ref[pl.ds(c * NC, NC), :] + 1.0) * 0.5)[:, :, None]
+        sb3 = ((nb_ref[pl.ds(c * NC, NC), :] + 1.0) * 0.5)[:, :, None]
+        pre1 = (
+            ph[None]
+            + (sa3 * x_end[None]) * w1xa[None]
+            + (sb3 * x_end[None]) * w1xb[None]
+        )
+        a = _leaky(pre1, neg_slope).reshape(NC * T, H1)
+        for i in range(1, n_layers - 1):
+            a = _leaky(
+                jnp.dot(a, ws[i][:], preferred_element_type=jnp.float32) + bs[i][:],
+                neg_slope,
+            )
+        zL = (
+            jnp.dot(a, ws[n_layers - 1][:], preferred_element_type=jnp.float32)
+            + bs[n_layers - 1][:]
+        )
+        fa3 = _eluplus(zL[:, 0:1]).reshape(NC, T, 1)
+        fb3 = _eluplus(zL[:, 1:2]).reshape(NC, T, 1)
+        wa3 = ca_ref[pl.ds(c * NC, NC), :][:, :, None]
+        wb3 = cb_ref[pl.ds(c * NC, NC), :][:, :, None]
+        return acc + jnp.sum(wa3 * fa3 + wb3 * fb3, axis=0)
+
+    acc = jax.lax.fori_loop(0, n_chunks, chunk_body, jnp.zeros((T, 1), jnp.float32))
+    out_ref[:] = acc * x_end * 0.5
+
+
+def _bwd_kernel_p2(
+    na_ref, nb_ref, ca_ref, cb_ref, feat_ref, g_ref, *rest,
+    neg_slope, node_chunk, k_pad, x2_col,
+):
+    n_layers = (len(rest) - 2) // 4
+    ws = rest[:n_layers]
+    bs = rest[n_layers : 2 * n_layers]
+    dfeat_ref = rest[2 * n_layers]
+    dws = rest[2 * n_layers + 1 : 3 * n_layers + 1]
+    dbs = rest[3 * n_layers + 1 : 4 * n_layers + 1]
+    s_ref = rest[4 * n_layers + 1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for i in range(n_layers):
+            dws[i][:] = jnp.zeros_like(dws[i])
+            dbs[i][:] = jnp.zeros_like(dbs[i])
+
+    feat = feat_ref[:]
+    g = g_ref[:]
+    T = feat.shape[0]
+    NC = node_chunk
+    n_chunks = k_pad // NC
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, feat.shape, 1)
+    x_end = feat[:, 0:1]
+    gx = g * x_end * 0.5
+
+    feat_h = jnp.where((col_ids == 0) | (col_ids == x2_col), 0.0, feat)
+    ph = (
+        jnp.dot(feat_h, ws[0][:], preferred_element_type=jnp.float32) + bs[0][:]
+    )
+    w1xa = ws[0][0:1, :]
+    w1xb = ws[0][x2_col : x2_col + 1, :]
+    H1 = ph.shape[1]
+
+    def contract_rows(a, b):
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    wTs = [ws[i][:].T for i in range(n_layers)]
+
+    def chunk_body(c, carry):
+        dfeat, s_acc = carry
+        sa3 = ((na_ref[pl.ds(c * NC, NC), :] + 1.0) * 0.5)[:, :, None]
+        sb3 = ((nb_ref[pl.ds(c * NC, NC), :] + 1.0) * 0.5)[:, :, None]
+        xsa3 = sa3 * x_end[None]
+        xsb3 = sb3 * x_end[None]
+        pre1 = (ph[None] + xsa3 * w1xa[None] + xsb3 * w1xb[None]).reshape(
+            NC * T, H1
+        )
+        a = _leaky(pre1, neg_slope)
+        acts = [a]
+        for i in range(1, n_layers - 1):
+            z = jnp.dot(a, ws[i][:], preferred_element_type=jnp.float32) + bs[i][:]
+            a = _leaky(z, neg_slope)
+            acts.append(a)
+        zL = jnp.dot(a, ws[n_layers - 1][:], preferred_element_type=jnp.float32)
+        fa = _eluplus(zL[:, 0:1] + bs[n_layers - 1][0:1, 0:1])
+        fb = _eluplus(zL[:, 1:2] + bs[n_layers - 1][0:1, 1:2])
+        wa3 = ca_ref[pl.ds(c * NC, NC), :][:, :, None]
+        wb3 = cb_ref[pl.ds(c * NC, NC), :][:, :, None]
+        s_acc = s_acc + jnp.sum(
+            wa3 * fa.reshape(NC, T, 1) + wb3 * fb.reshape(NC, T, 1), axis=0
+        )
+        cta = (wa3 * gx[None]).reshape(NC * T, 1)
+        ctb = (wb3 * gx[None]).reshape(NC * T, 1)
+        dzLa = cta * jnp.minimum(fa, 1.0)
+        dzLb = ctb * jnp.minimum(fb, 1.0)
+        # output layer: two real columns -> two VPU reductions, stored
+        # TRANSPOSED in rows 0/1 of the dW ref (un-transposed host-side)
+        aL = acts[n_layers - 2]
+        r0 = jnp.sum(aL * dzLa, axis=0, keepdims=True)
+        r1 = jnp.sum(aL * dzLb, axis=0, keepdims=True)
+        rowsL = jax.lax.broadcasted_iota(jnp.int32, dws[n_layers - 1].shape, 0)
+        dws[n_layers - 1][:] += jnp.where(
+            rowsL == 0, r0, jnp.where(rowsL == 1, r1, 0.0)
+        )
+        colsLb = jax.lax.broadcasted_iota(jnp.int32, dbs[n_layers - 1].shape, 1)
+        dbs[n_layers - 1][:] += jnp.where(
+            colsLb == 0,
+            jnp.sum(dzLa, axis=0, keepdims=True),
+            jnp.where(colsLb == 1, jnp.sum(dzLb, axis=0, keepdims=True), 0.0),
+        )
+        da = dzLa * wTs[n_layers - 1][0:1, :] + dzLb * wTs[n_layers - 1][1:2, :]
+        dz = da * jnp.where(aL > 0, 1.0, neg_slope)
+        for i in range(n_layers - 2, 0, -1):
+            dws[i][:] += contract_rows(acts[i - 1], dz)
+            dbs[i][:] += jnp.sum(dz, axis=0, keepdims=True)
+            da = jnp.dot(dz, wTs[i], preferred_element_type=jnp.float32)
+            dz = da * jnp.where(acts[i - 1] > 0, 1.0, neg_slope)
+        # layer 1 with TWO x rows (0 and x2_col)
+        dz3 = dz.reshape(NC, T, H1)
+        dz_sum = jnp.sum(dz3, axis=0)
+        dw1_h = contract_rows(feat_h, dz_sum)
+        dw1_xa = jnp.sum(jnp.sum(xsa3 * dz3, axis=0), axis=0, keepdims=True)
+        dw1_xb = jnp.sum(jnp.sum(xsb3 * dz3, axis=0), axis=0, keepdims=True)
+        w_rows = jax.lax.broadcasted_iota(jnp.int32, dw1_h.shape, 0)
+        dws[0][:] += jnp.where(
+            w_rows == 0, dw1_xa, jnp.where(w_rows == x2_col, dw1_xb, dw1_h)
+        )
+        dbs[0][:] += jnp.sum(dz_sum, axis=0, keepdims=True)
+        dh_nodes = jnp.dot(dz_sum, wTs[0], preferred_element_type=jnp.float32)
+        dxa = jnp.sum(
+            jnp.sum(dz3 * w1xa[None], axis=2, keepdims=True) * sa3, axis=0
+        )
+        dxb = jnp.sum(
+            jnp.sum(dz3 * w1xb[None], axis=2, keepdims=True) * sb3, axis=0
+        )
+        # all of dx lands in col 0; col x2 zeroed so the host never
+        # double-counts (dh slots are folded host-side instead)
+        dfeat = dfeat + jnp.where(
+            col_ids == 0,
+            dxa + dxb,
+            jnp.where(col_ids == x2_col, 0.0, dh_nodes),
+        )
+        return dfeat, s_acc
+
+    dfeat, s_sum = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, (jnp.zeros_like(feat), jnp.zeros((T, 1), jnp.float32))
+    )
+    dfeat_ref[:] = dfeat
+    s_ref[:] = s_sum
+
+
+def _pack2_params(ws, bs):
+    """Block-diagonal 2-slot weights (real sizes; padding happens after)."""
+    pws, pbs = [], []
+    n = len(ws)
+    for idx, (w, b) in enumerate(zip(ws, bs)):
+        i, o = w.shape
+        if idx == n - 1:
+            # output layer: two one-hot columns (slot A -> col 0, B -> col 1)
+            wp = jnp.zeros((2 * i, 2), w.dtype)
+            wp = wp.at[:i, 0].set(w[:, 0])
+            wp = wp.at[i:, 1].set(w[:, 0])
+            bp = jnp.concatenate([b, b])
+        else:
+            wp = jnp.zeros((2 * i, 2 * o), w.dtype)
+            wp = wp.at[:i, :o].set(w)
+            wp = wp.at[i:, o:].set(w)
+            bp = jnp.concatenate([b, b])
+        pws.append(wp)
+        pbs.append(bp)
+    return pws, pbs
+
+
+def _pack2_nodes(nodes, ccw, node_chunk):
+    """Split the node axis into even/odd pairs; pad pairs to node_chunk."""
+    K = nodes.shape[0]
+    if K % 2:
+        nodes = jnp.concatenate([nodes, jnp.full((1, 1), -1.0, nodes.dtype)])
+        ccw = jnp.concatenate([ccw, jnp.zeros((1, 1), ccw.dtype)])
+    na, nb = nodes[0::2], nodes[1::2]
+    ca, cb = ccw[0::2], ccw[1::2]
+    K2 = na.shape[0]
+    K2_pad = _round_up(K2, node_chunk)
+    if K2_pad != K2:
+        pad = K2_pad - K2
+        na = jnp.concatenate([na, jnp.full((pad, 1), -1.0, na.dtype)])
+        nb = jnp.concatenate([nb, jnp.full((pad, 1), -1.0, nb.dtype)])
+        ca = jnp.concatenate([ca, jnp.zeros((pad, 1), ca.dtype)])
+        cb = jnp.concatenate([cb, jnp.zeros((pad, 1), cb.dtype)])
+    return na, nb, ca, cb, K2_pad
+
+
+def _pack2_applicable(ws) -> bool:
+    """pack2 needs every layer's block to fit in half the 128 lanes."""
+    return (
+        len(ws) >= 2
+        and ws[0].shape[0] <= 64  # 1 + e
+        and all(w.shape[1] <= 64 for w in ws[:-1])  # hidden widths
+        and ws[-1].shape[1] == 1  # scalar integrand head
+    )
+
+
+def _prep_p2(x, h):
+    """Packed feature rows [x, h, x, h]; x2_col is the second x column."""
+    batch_shape = x.shape
+    R = int(np.prod(batch_shape))
+    e = h.shape[-1]
+    x2_col = 1 + e
+    F = _round_up(2 * (1 + e), LANE)
+    xf = x.reshape(R).astype(jnp.float32)
+    hf = h.reshape(R, e).astype(jnp.float32)
+    feat = jnp.zeros((R, F), jnp.float32)
+    feat = feat.at[:, 0].set(xf)
+    feat = feat.at[:, 1 : 1 + e].set(hf)
+    feat = feat.at[:, x2_col].set(xf)
+    feat = feat.at[:, x2_col + 1 : x2_col + 1 + e].set(hf)
+    return feat, batch_shape, R, e, x2_col
+
+
 def _run_fwd(pw, pb, feat, nodes, ccw, tile_r, node_chunk, interpret, neg_slope):
     R, F = feat.shape
     grid = (R // tile_r,)
@@ -400,14 +657,95 @@ def _run_bwd(pw, pb, feat, g, nodes, ccw, tile_r, node_chunk, interpret, neg_slo
     return dfeat, dpw, dpb, s_sum
 
 
+def _run_fwd_p2(
+    pw, pb, feat, na, nb, ca, cb, tile_r, node_chunk, interpret, neg_slope, x2_col
+):
+    R, F = feat.shape
+    grid = (R // tile_r,)
+    k_pad = na.shape[0]
+    node_spec = pl.BlockSpec((k_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [node_spec] * 4 + [
+        pl.BlockSpec((tile_r, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in pw
+    ] + [
+        pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for b in pb
+    ]
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_p2, neg_slope=neg_slope, node_chunk=node_chunk,
+            k_pad=k_pad, x2_col=x2_col,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(na, nb, ca, cb, feat, *pw, *pb)
+
+
+def _run_bwd_p2(
+    pw, pb, feat, g, na, nb, ca, cb, tile_r, node_chunk, interpret, neg_slope, x2_col
+):
+    R, F = feat.shape
+    grid = (R // tile_r,)
+    k_pad = na.shape[0]
+    node_spec = pl.BlockSpec((k_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [node_spec] * 4 + [
+        pl.BlockSpec((tile_r, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in pw
+    ] + [
+        pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for b in pb
+    ]
+    out_shape = (
+        [jax.ShapeDtypeStruct((R, F), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in pw]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in pb]
+        + [jax.ShapeDtypeStruct((R, 1), jnp.float32)]
+    )
+    out_specs = (
+        [pl.BlockSpec((tile_r, F), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in pw]
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for b in pb]
+        + [pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_p2, neg_slope=neg_slope, node_chunk=node_chunk,
+            k_pad=k_pad, x2_col=x2_col,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(na, nb, ca, cb, feat, g, *pw, *pb)
+    n_layers = len(pw)
+    return (
+        outs[0],
+        outs[1 : 1 + n_layers],
+        outs[1 + n_layers : 1 + 2 * n_layers],
+        outs[1 + 2 * n_layers],
+    )
+
+
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
 )
 def _fused_integral(
-    ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, dw_mode
+    ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, dw_mode,
+    pack2,
 ):
     z, _ = _fused_fwd_impl(
-        ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope
+        ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, pack2
     )
     return z
 
@@ -424,8 +762,22 @@ def _prep(ws, bs, x, h):
     return feat, batch_shape, R, e
 
 
-def _fused_fwd_impl(ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope):
+def _fused_fwd_impl(
+    ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, pack2=False
+):
     nodes, ccw = nodes_ccw
+    if pack2:
+        feat, batch_shape, R, e, x2_col = _prep_p2(x, h)
+        pw, pb = _pad_params(*_pack2_params(ws, bs))
+        na, nb, ca, cb, _ = _pack2_nodes(nodes, ccw, node_chunk)
+        R_pad = _round_up(max(R, tile_r), tile_r)
+        if R_pad != R:
+            feat = jnp.pad(feat, ((0, R_pad - R), (0, 0)))
+        out = _run_fwd_p2(
+            pw, pb, feat, na, nb, ca, cb, tile_r, node_chunk, interpret,
+            neg_slope, x2_col,
+        )
+        return out[:R, 0].reshape(batch_shape), (feat, batch_shape, R, e)
     feat, batch_shape, R, e = _prep(ws, bs, x, h)
     pw, pb = _pad_params(ws, bs)
     nodes, ccw, _ = _pad_nodes(nodes, ccw, node_chunk)
@@ -438,17 +790,24 @@ def _fused_fwd_impl(ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_
 
 
 def _fused_vjp_fwd(
-    ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, dw_mode
+    ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, dw_mode,
+    pack2,
 ):
     z, _ = _fused_fwd_impl(
-        ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope
+        ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, pack2
     )
     return z, (ws, bs, x, h, z, nodes_ccw)
 
 
-def _fused_vjp_bwd(tile_r, node_chunk, interpret, neg_slope, dw_mode, res, g):
+def _fused_vjp_bwd(
+    tile_r, node_chunk, interpret, neg_slope, dw_mode, pack2, res, g
+):
     ws, bs, x, h, z, nodes_ccw = res
     nodes, ccw = nodes_ccw
+    if pack2:
+        return _fused_vjp_bwd_p2(
+            tile_r, node_chunk, interpret, neg_slope, res, g
+        )
     feat, batch_shape, R, e = _prep(ws, bs, x, h)
     pw, pb = _pad_params(ws, bs)
     nodes, ccw, _ = _pad_nodes(nodes, ccw, node_chunk)
@@ -480,6 +839,47 @@ def _fused_vjp_bwd(tile_r, node_chunk, interpret, neg_slope, dw_mode, res, g):
     return (dws, dbs, dx.astype(x.dtype), dh, (jnp.zeros_like(nodes_ccw[0]), jnp.zeros_like(nodes_ccw[1])))
 
 
+def _fused_vjp_bwd_p2(tile_r, node_chunk, interpret, neg_slope, res, g):
+    ws, bs, x, h, z, nodes_ccw = res
+    nodes, ccw = nodes_ccw
+    feat, batch_shape, R, e, x2_col = _prep_p2(x, h)
+    pw, pb = _pad_params(*_pack2_params(ws, bs))
+    na, nb, ca, cb, _ = _pack2_nodes(nodes, ccw, node_chunk)
+    R_pad = _round_up(max(R, tile_r), tile_r)
+    g_flat = g.reshape(R, 1).astype(jnp.float32)
+    if R_pad != R:
+        feat = jnp.pad(feat, ((0, R_pad - R), (0, 0)))
+        g_flat = jnp.pad(g_flat, ((0, R_pad - R), (0, 0)))
+    dfeat, dpw, dpb, s_sum = _run_bwd_p2(
+        pw, pb, feat, g_flat, na, nb, ca, cb, tile_r, node_chunk, interpret,
+        neg_slope, x2_col,
+    )
+    dfeat = dfeat[:R]
+    prod_term = g * s_sum[:R, 0].reshape(batch_shape) * 0.5
+    dx = dfeat[:, 0].reshape(batch_shape) + prod_term
+    # h gradient arrives in both packed slots — fold them
+    dh = (
+        dfeat[:, 1 : 1 + e] + dfeat[:, x2_col + 1 : x2_col + 1 + e]
+    ).reshape(*batch_shape, e).astype(h.dtype)
+    dws, dbs = [], []
+    n = len(ws)
+    for idx, (w, b) in enumerate(zip(ws, bs)):
+        i, o = w.shape
+        if idx == n - 1:
+            dun = dpw[idx].T  # output dW stored transposed (rows 0/1)
+            dw = dun[:i, 0:1] + dun[i : 2 * i, 1:2]
+            db = dpb[idx][0, 0:1] + dpb[idx][0, 1:2]
+        else:
+            dw = dpw[idx][:i, :o] + dpw[idx][i : 2 * i, o : 2 * o]
+            db = dpb[idx][0, :o] + dpb[idx][0, o : 2 * o]
+        dws.append(dw.astype(w.dtype))
+        dbs.append(db.astype(b.dtype))
+    return (
+        dws, dbs, dx.astype(x.dtype), dh,
+        (jnp.zeros_like(nodes_ccw[0]), jnp.zeros_like(nodes_ccw[1])),
+    )
+
+
 _fused_integral.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
@@ -496,6 +896,7 @@ def fused_cc_integral(
     interpret: bool | None = None,
     neg_slope: float = 0.01,
     dw_mode: str = "per_layer",
+    pack2: bool | None = None,
 ) -> jax.Array:
     """``∫_0^{x} f(t, h) dt`` for the UMNN integrand MLP, fused on-TPU.
 
@@ -520,6 +921,10 @@ def fused_cc_integral(
         interpret = not pallas_available()
     nodes = nodes.reshape(-1, 1).astype(jnp.float32)
     ccw = ccw.reshape(-1, 1).astype(jnp.float32)
+    if pack2 is None:
+        # auto: pack 2 nodes per row whenever every layer's block fits in
+        # half the 128 lanes (not with the batched-dW research variant)
+        pack2 = dw_mode != "batched" and _pack2_applicable(ws)
     if node_chunk is None:
         # Default: fold ALL nodes into one chunk when the activation
         # working set fits VMEM — zero padding nodes and no chunk loop.
@@ -528,9 +933,11 @@ def fused_cc_integral(
         # step, scripts/ab_kernel_bench.py.) Rough working set: one
         # [K*tile_r, 128] f32 buffer per layer plus ~3 temporaries.
         K = nodes.shape[0]
+        if pack2:
+            K = (K + 1) // 2  # node axis counts PAIRS
         est = K * tile_r * LANE * 4 * (len(ws) + 3)
         node_chunk = K if est <= 80 * 1024 * 1024 else 16
     return _fused_integral(
         list(ws), list(bs), x, h, (nodes, ccw), tile_r, node_chunk, interpret,
-        neg_slope, dw_mode,
+        neg_slope, dw_mode, pack2,
     )

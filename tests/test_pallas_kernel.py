@@ -176,3 +176,38 @@ def test_single_layer_integrand_rejected():
             jnp.asarray(n_np, jnp.float32),
             jnp.asarray(w_np, jnp.float32),
         )
+
+
+def test_pack2_applicability_rules():
+    """pack2 activates only when every layer's block fits half the lanes."""
+    from umnn_tpu.ops.integrand_kernel import _pack2_applicable
+
+    def fake(sizes):
+        k = jax.random.PRNGKey(0)
+        ls = mlp_init(k, sizes)
+        return [l["w"] for l in ls]
+
+    assert _pack2_applicable(fake([31, 50, 50, 50, 50, 1]))  # UCI shape
+    assert _pack2_applicable(fake([5, 16, 16, 1]))
+    # MNIST shape: 100-wide first hidden exceeds 64 lanes
+    assert not _pack2_applicable(fake([31, 100, 50, 50, 50, 50, 1]))
+    # wide conditioning: 1+e > 64
+    assert not _pack2_applicable(fake([65, 50, 1]))
+    # no hidden layer
+    assert not _pack2_applicable(fake([31, 1]))
+
+
+def test_auto_backend_threshold_width_aware():
+    """The auto crossover must reflect the measured width-dependent points
+    (pack2-eligible 2560, width<=64 unpacked 12288, wide 4096)."""
+    from umnn_tpu.models.umnn_maf import UMNNMAF
+
+    def min_rows(hidden, e=30):
+        return UMNNMAF(
+            input_size=4, embedding_s=e, hidden_embedding=(8,),
+            hidden_derivative=hidden, nb_steps=8,
+        ).auto_min_rows()
+
+    assert min_rows((50, 50)) == 2560  # pack2-eligible
+    assert min_rows((50, 50), e=80) == 12288  # conditioning too wide to pack
+    assert min_rows((100, 50)) == 4096  # wide integrand

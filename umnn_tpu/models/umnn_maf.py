@@ -236,6 +236,19 @@ class UMNNMAF:
 
     # --- core ---------------------------------------------------------------
 
+    def auto_min_rows(self) -> int:
+        """Folded-row count above which the fused kernel beats XLA.
+
+        Measured crossovers (v5e, scripts/{pack2_ab,backend_crossover}.py):
+        pack2-eligible shapes win from ~2.5k rows (0.607 vs 0.643 ms at the
+        3000-row UCI parity config); unpacked width<=64 from ~12k; wide
+        (>64, no packing but costlier XLA) from ~4k.
+        """
+        wide = max(self.hidden_derivative, default=0)
+        if wide <= 64 and (1 + self.embedding_s) <= 64:
+            return 2560
+        return 12288 if wide <= 64 else 4096
+
     def _integrand_fn(self):
         integrand = self.net.integrand
 
@@ -263,16 +276,7 @@ class UMNNMAF:
         n_rows = int(np.prod(x.shape))
         min_rows = self.pallas_min_rows
         if min_rows is None:
-            wide = max(self.hidden_derivative, default=0)
-            if wide <= 64 and (1 + self.embedding_s) <= 64:
-                # pack2-eligible: the packed kernel beats XLA from ~2.5k
-                # folded rows (scripts/pack2_ab.py: 0.607 vs 0.643 ms at
-                # 3000 rows, UCI parity config)
-                min_rows = 2560
-            elif wide <= 64:
-                min_rows = 12288
-            else:
-                min_rows = 4096
+            min_rows = self.auto_min_rows()
         use_pallas = self.solver == "CCParallel" and len(
             self.hidden_derivative
         ) >= 1 and (

@@ -908,7 +908,9 @@ def fused_cc_integral(
 
     ``tile_r`` rows per grid step; ``node_chunk`` quadrature nodes folded
     into each matmul's M dimension (VMEM per activation buffer is
-    ``tile_r * node_chunk * 128 * 4`` bytes).
+    ``tile_r * node_chunk * 128 * 4`` bytes); ``pack2`` packs two nodes per
+    matmul row via block-diagonal weights when every layer fits 64 lanes
+    (auto-enabled — measured 0.834 -> 0.607 ms per UCI-config train step).
     """
     if len(ws) < 2:
         # the kernels assume >= 1 hidden layer (separate first/output

@@ -45,6 +45,7 @@ from umnn_tpu.training.loops import (
     batch_iter,
     make_optimizer,
     make_train_step,
+    retry_transient,
     set_learning_rate,
 )
 from umnn_tpu.utils.logging import MetricsWriter, get_logger
@@ -138,7 +139,9 @@ def main():
         ll, _ = model.compute_ll(prm, batch)
         return -ll
 
-    eval_step = jax.jit(nll_vec, in_shardings=(rep, shd), out_shardings=rep)
+    eval_step = retry_transient(
+        jax.jit(nll_vec, in_shardings=(rep, shd), out_shardings=rep)
+    )
 
     def eval_split(x):
         tot, n_tot = [], 0

@@ -40,7 +40,12 @@ from umnn_tpu.models.flow import UMNNMAFFlow
 from umnn_tpu.ops.quadrature import padded_cc_quadrature
 from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
 from umnn_tpu.training.checkpoint import BestTracker, CheckpointManager
-from umnn_tpu.training.loops import batch_iter, make_optimizer, make_train_step
+from umnn_tpu.training.loops import (
+    batch_iter,
+    make_optimizer,
+    make_train_step,
+    retry_transient,
+)
 from umnn_tpu.utils.logging import MetricsWriter, get_logger
 
 
@@ -137,7 +142,9 @@ def main():
         loss_fn, optimizer, mesh, extra_shardings=("shard", "rep", "rep"),
         post_update=post_update,
     )
-    eval_bpp = jax.jit(bpp_fn, in_shardings=(rep, shd, shd), out_shardings=rep)
+    eval_bpp = retry_transient(
+        jax.jit(bpp_fn, in_shardings=(rep, shd, shd), out_shardings=rep)
+    )
 
     ckpt = CheckpointManager(folder / "ckpt")
     best = BestTracker(ckpt)

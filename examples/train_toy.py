@@ -33,7 +33,7 @@ from umnn_tpu.data.toy import TOY_DATASETS, inf_train_gen
 from umnn_tpu.models.flow import UMNNMAFFlow
 from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
 from umnn_tpu.training.checkpoint import CheckpointManager
-from umnn_tpu.training.loops import make_optimizer, make_train_step
+from umnn_tpu.training.loops import make_optimizer, make_train_step, retry_transient
 
 
 def main():
@@ -104,14 +104,18 @@ def main():
             return -jnp.mean(ll)
 
         train_step = make_train_step(loss_fn, optimizer, mesh, extra_shardings=("shard",))
-        eval_step = jax.jit(loss_fn, in_shardings=(rep, shd, shd), out_shardings=rep)
+        eval_step = retry_transient(
+            jax.jit(loss_fn, in_shardings=(rep, shd, shd), out_shardings=rep)
+        )
     else:
         def loss_fn(prm, batch):
             ll, _ = model.compute_ll(prm, batch)
             return -jnp.mean(ll)
 
         train_step = make_train_step(loss_fn, optimizer, mesh)
-        eval_step = jax.jit(loss_fn, in_shardings=(rep, shd), out_shardings=rep)
+        eval_step = retry_transient(
+            jax.jit(loss_fn, in_shardings=(rep, shd), out_shardings=rep)
+        )
 
     steps_per_epoch = 10
     for epoch in range(start_epoch, args.nb_epoch):

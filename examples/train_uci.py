@@ -43,6 +43,7 @@ from umnn_tpu.training.loops import (
     get_learning_rate,
     make_optimizer,
     make_train_step,
+    retry_transient,
     set_learning_rate,
 )
 from umnn_tpu.utils.logging import MetricsWriter, get_logger
@@ -129,9 +130,9 @@ def main():
         ll, _ = model.compute_ll(prm, batch, nodes=nodes, weights=weights)
         return -ll  # per-sample NLL: lets eval skip wrap-padded dup rows
 
-    eval_step = jax.jit(
+    eval_step = retry_transient(jax.jit(
         nll_vec_fn, in_shardings=(rep, shd, rep, rep), out_shardings=rep
-    )
+    ))
     eval_nodes, eval_weights = padded_cc_quadrature(eval_steps, max_steps)
 
     ckpt = CheckpointManager(folder / "ckpt")

@@ -41,7 +41,12 @@ from umnn_tpu.models.vae.iwae import calculate_likelihood
 from umnn_tpu.ops.quadrature import padded_cc_quadrature
 from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
 from umnn_tpu.training.checkpoint import CheckpointManager
-from umnn_tpu.training.loops import batch_iter, make_optimizer, make_train_step
+from umnn_tpu.training.loops import (
+    batch_iter,
+    make_optimizer,
+    make_train_step,
+    retry_transient,
+)
 from umnn_tpu.utils.logging import MetricsWriter, get_logger
 
 EVAL_STEPS = 100  # MMAF eval quadrature steps (`training.py:91-94`)
@@ -174,17 +179,21 @@ def main():
             data.input_type, data.input_size,
         )
 
-    eval_step = jax.jit(
+    eval_step = retry_transient(jax.jit(
         eval_vec_fn, in_shardings=(rep, shd, rep), out_shardings=rep
-    )
+    ))
 
     def recon_fn(prm, batch, rng):
         x = batch.reshape(-1, c, hh, ww)
         x_mean, *_ = apply_model(prm, x, rng, **quad)
         return x_mean
 
-    recon_step = jax.jit(recon_fn, in_shardings=(rep, shd, rep), out_shardings=rep)
-    sample_step = jax.jit(model.decode, in_shardings=(rep, rep), out_shardings=rep)
+    recon_step = retry_transient(
+        jax.jit(recon_fn, in_shardings=(rep, shd, rep), out_shardings=rep)
+    )
+    sample_step = retry_transient(
+        jax.jit(model.decode, in_shardings=(rep, rep), out_shardings=rep)
+    )
 
     def to_pixels(x_mean):
         """Render a decoder mean as [N,H,W(,C)] images in [0,1]

@@ -112,3 +112,44 @@ def test_post_update_runs_every_step():
     for _ in range(3):
         params, state, _ = step(params, state, jnp.asarray([1.0, 1.0]))
         assert float(jnp.max(jnp.abs(params["w"]))) <= 0.5 + 1e-6
+
+
+def test_retry_transient_behavior():
+    """Transient remote-compile failures retry with backoff; real errors and
+    exhausted retries re-raise."""
+    import jax
+
+    from umnn_tpu.training.loops import retry_transient
+
+    calls = {"n": 0}
+
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: http://127.0.0.1:1/remote_compile: read body: "
+                "response body closed before all bytes were read"
+            )
+        return x + 1
+
+    assert retry_transient(flaky, retries=3, base_delay=0.0)(1) == 2
+    assert calls["n"] == 3
+
+    def always_fails(x):
+        raise jax.errors.JaxRuntimeError("remote_compile transient")
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        retry_transient(always_fails, retries=2, base_delay=0.0)(1)
+
+    def real_error(x):
+        raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: shape mismatch")
+
+    calls["n"] = 0
+
+    def counting_real(x):
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: shape mismatch")
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        retry_transient(counting_real, retries=3, base_delay=0.0)(1)
+    assert calls["n"] == 1  # non-transient: no retry

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from umnn_tpu.models.vae.losses import calculate_loss_array
+from umnn_tpu.training.loops import retry_transient
 
 
 def make_iwae_step(model, mesh=None, apply_kwargs: Optional[dict] = None):
@@ -42,12 +43,12 @@ def make_iwae_step(model, mesh=None, apply_kwargs: Optional[dict] = None):
     if mesh is not None:
         from umnn_tpu.parallel.mesh import batch_sharded, replicated
 
-        return jax.jit(
+        return retry_transient(jax.jit(
             step,
             in_shardings=(replicated(mesh), batch_sharded(mesh), replicated(mesh)),
             out_shardings=batch_sharded(mesh),
-        )
-    return jax.jit(step)
+        ))
+    return retry_transient(jax.jit(step))
 
 
 def calculate_likelihood(

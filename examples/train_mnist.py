@@ -80,6 +80,14 @@ def main():
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-folder", default="runs/mnist")
     p.add_argument("-synthetic", action="store_true")
+    p.add_argument(
+        "-synthetic_mode", default="uniform", choices=["uniform", "ar1"],
+        help="'uniform' = uint8 noise (exact 8.0 bpp floor, validates the "
+             "bookkeeping); 'ar1' = raster AR(1) Gaussian copula (uniform "
+             "marginals, exact correlated floor — the conditioner must "
+             "learn inter-pixel structure to beat 8.0 bpp)",
+    )
+    p.add_argument("-ar1_rho", type=float, default=0.7)
     args = p.parse_args()
 
     folder = Path(args.folder)
@@ -88,7 +96,17 @@ def main():
     metrics = MetricsWriter(folder / "metrics.jsonl")
     (folder / "args.json").write_text(json.dumps(vars(args)))
 
-    data = load_mnist_flow(synthetic=True if args.synthetic else None)
+    floor_bpp = None
+    if args.synthetic and args.synthetic_mode == "ar1":
+        from umnn_tpu.data.images import synthetic_mnist_ar1
+
+        data, floor_bpp = synthetic_mnist_ar1(rho=args.ar1_rho, seed=args.seed)
+        logger.info(
+            "AR(1) copula gate: rho=%.2f  exact test-floor %.4f bpp "
+            "(independence scores 8.0)", args.ar1_rho, floor_bpp,
+        )
+    else:
+        data = load_mnist_flow(synthetic=True if args.synthetic else None)
     logger.info(
         "mnist flow: train=%d valid=%d test=%d", len(data.trn_x), len(data.val_x),
         len(data.tst_x),
@@ -119,7 +137,9 @@ def main():
     def onehot(y):
         return jax.nn.one_hot(y, 10) if args.conditionnal else None
 
-    def loss_fn(prm, x, y, nodes, weights):
+    lipschitz = args.Lipshitz > 0
+
+    def loss_fn(prm, x, y, nodes, weights, *unused_step_key):
         ll, _ = model.compute_ll(
             prm, x, context=onehot(y), nodes=nodes, weights=weights
         )
@@ -130,16 +150,19 @@ def main():
         return bpp  # per-sample: lets eval skip wrap-padded dup rows
 
     # Lipschitz projection after every optimizer step, inside the compiled
-    # step (`MNISTExperiment.py:166-167` projects per batch)
+    # step (`MNISTExperiment.py:166-167` projects per batch), with a fresh
+    # power-iteration init key per step (the reference draws fresh randn per
+    # forceLipshitz call; advisor r2)
     post_update = None
-    if args.Lipshitz > 0:
-        lip_key = jax.random.PRNGKey(args.seed + 97)
+    extra_shardings = ("shard", "rep", "rep")
+    if lipschitz:
+        extra_shardings = ("shard", "rep", "rep", "rep")
 
-        def post_update(prm):
-            return model.force_lipschitz(prm, lip_key, args.Lipshitz)
+        def post_update(prm, y, nodes, weights, step_key):
+            return model.force_lipschitz(prm, step_key, args.Lipshitz)
 
     train_step = make_train_step(
-        loss_fn, optimizer, mesh, extra_shardings=("shard", "rep", "rep"),
+        loss_fn, optimizer, mesh, extra_shardings=extra_shardings,
         post_update=post_update,
     )
     eval_bpp = retry_transient(
@@ -161,6 +184,7 @@ def main():
             n_tot += nv
         return float(jnp.stack(tot).sum()) / max(n_tot, 1)
 
+    lip_key = jax.random.PRNGKey(args.seed + 97)
     for epoch in range(args.nb_epoch):
         t0 = time.time()
         perm = rng.permutation(len(data.trn_x))
@@ -176,10 +200,14 @@ def main():
             # compiled step shape-stable
             n_steps = 2 * rng.randint(5, 50) if random_steps else args.nb_steps
             nodes, weights = padded_cc_quadrature(n_steps, max_steps)
+            extras = (nodes, weights)
+            if lipschitz:
+                lip_key, k = jax.random.split(lip_key)
+                extras = (nodes, weights, k)
             params, opt_state, loss = train_step(
                 params, opt_state,
                 jnp.asarray(data.trn_x[sel]), jnp.asarray(data.trn_y[sel]),
-                nodes, weights,
+                *extras,
             )
             losses.append(loss)
         train_nll = float(jnp.stack(losses).mean())
@@ -204,7 +232,13 @@ def main():
         params = best_params
     test_bpp = eval_split(data.tst_x, data.tst_y)
     logger.info("FINAL test bpp: %.4f", test_bpp)
-    print(json.dumps({"test_bpp": test_bpp}))
+    out = {"test_bpp": test_bpp}
+    if floor_bpp is not None:
+        out.update(floor_bpp=floor_bpp, bpp_gap=test_bpp - floor_bpp)
+        logger.info(
+            "AR(1) gate: floor %.4f  gap %.4f bpp", floor_bpp, test_bpp - floor_bpp
+        )
+    print(json.dumps(out))
 
     if args.gen > 0:
         # generation: z ~ N(0, T) -> invert -> logit_back (`MNISTExperiment.py:180-196`)

@@ -63,9 +63,24 @@ def main():
     p.add_argument("-b_size", type=int, default=500)
     p.add_argument("-lr", type=float, default=1e-3)
     p.add_argument("-wd", type=float, default=1e-2)
+    p.add_argument(
+        "-s_rate", type=float, default=0.5,
+        help="LR scheduling rate (`UCIExperiments.py:209`)",
+    )
+    p.add_argument(
+        "-s_patience", type=int, default=5,
+        help="epochs with no improvement before reducing lr "
+             "(`UCIExperiments.py:213`)",
+    )
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-folder", default="runs/uci")
     p.add_argument("-load", action="store_true", help="resume from checkpoint")
+    p.add_argument(
+        "-test", action="store_true",
+        help="evaluation-only: load the best-train checkpoint and report "
+             "test NLL (at 100 steps in randomized mode) without training "
+             "(`UCIExperiments.py:93-122` loads model_best_train.pt)",
+    )
     p.add_argument("-steps_per_epoch", type=int, default=0, help="0 = full epoch")
     p.add_argument(
         "-Lipshitz", type=float, default=0,
@@ -73,6 +88,12 @@ def main():
              "reference `UCIExperiments.py:216`, spelling kept)",
     )
     p.add_argument("-synthetic", action="store_true")
+    p.add_argument(
+        "-synthetic_rows", type=int, default=0,
+        help="total synthetic stand-in rows before splits (0 = 20000 "
+             "default; -1 = real dataset scale, see data/uci.py "
+             "SYNTH_REAL_ROWS)",
+    )
     args = p.parse_args()
 
     folder = Path(args.folder) / args.data
@@ -81,7 +102,18 @@ def main():
     metrics = MetricsWriter(folder / "metrics.jsonl")
     (folder / "args.json").write_text(json.dumps(vars(args)))
 
-    data = load_uci(args.data, synthetic=True if args.synthetic else None)
+    synth_rows = None
+    if args.synthetic_rows == -1:
+        from umnn_tpu.data.uci import SYNTH_REAL_ROWS
+
+        synth_rows = SYNTH_REAL_ROWS[args.data]
+    elif args.synthetic_rows > 0:
+        synth_rows = args.synthetic_rows
+    data = load_uci(
+        args.data,
+        synthetic=True if args.synthetic else None,
+        synthetic_rows=synth_rows,
+    )
     logger.info(
         "dataset %s: dims=%d train=%d valid=%d test=%d",
         data.name, data.n_dims, len(data.trn), len(data.val), len(data.tst),
@@ -109,21 +141,27 @@ def main():
     mesh = data_mesh()
     rep, shd = replicated(mesh), batch_sharded(mesh)
 
-    def loss_fn(prm, batch, nodes, weights):
+    lipschitz = args.Lipshitz > 0
+
+    def loss_fn(prm, batch, nodes, weights, *unused_step_key):
         ll, _ = model.compute_ll(prm, batch, nodes=nodes, weights=weights)
         return -jnp.mean(ll)
 
     # Lipschitz projection after EVERY optimizer step, fused into the
-    # compiled step (`UCIExperiments.py:145-147` projects per batch)
+    # compiled step (`UCIExperiments.py:145-147` projects per batch). A
+    # fresh power-iteration key rides each step (the reference draws fresh
+    # torch.randn per forceLipshitz call, `UMNNMAF.py:26-34`): the driver
+    # passes a per-step PRNG key as an extra loss arg.
     post_update = None
-    if args.Lipshitz > 0:
-        lip_key = jax.random.PRNGKey(args.seed + 97)
+    extra_shardings = ("rep", "rep")
+    if lipschitz:
+        extra_shardings = ("rep", "rep", "rep")
 
-        def post_update(prm):
-            return model.force_lipschitz(prm, lip_key, args.Lipshitz)
+        def post_update(prm, nodes, weights, step_key):
+            return model.force_lipschitz(prm, step_key, args.Lipshitz)
 
     train_step = make_train_step(
-        loss_fn, optimizer, mesh, extra_shardings=("rep", "rep"),
+        loss_fn, optimizer, mesh, extra_shardings=extra_shardings,
         post_update=post_update,
     )
     def nll_vec_fn(prm, batch, nodes, weights):
@@ -137,7 +175,7 @@ def main():
 
     ckpt = CheckpointManager(folder / "ckpt")
     best = BestTracker(ckpt)
-    plateau = ReduceLROnPlateau()
+    plateau = ReduceLROnPlateau(factor=args.s_rate, patience=args.s_patience)
     history = ckpt.load_history() if args.load else {"train": [], "valid": [], "test": []}
     start_epoch = len(history["valid"])  # loss-history resume cursor
     rng = np.random.RandomState(args.seed + 1)
@@ -162,6 +200,30 @@ def main():
             n_tot += nv
         return float(jnp.stack(tot).sum()) / max(n_tot, 1)
 
+    if args.test:
+        # evaluation-only mode: the reference loads model_best_train.pt and
+        # reports test NLL, forcing 100 steps in randomized mode
+        # (`UCIExperiments.py:93-122`); eval_steps already carries that rule
+        loaded = ckpt.load_best("train", params)
+        tag = "train"
+        if loaded is None:  # fall back like-for-like if only valid exists
+            loaded, tag = ckpt.load_best("valid", params), "valid"
+        if loaded is None:
+            logger.info("-test: no best checkpoint found under %s", ckpt.directory)
+            return 1
+        params = loaded
+        test_nll = eval_split(data.tst)
+        logger.info(
+            "TEST-ONLY (best-%s params, %d steps): test NLL %.4f over %d rows",
+            tag, eval_steps, test_nll, len(data.tst),
+        )
+        print(json.dumps({
+            "dataset": data.name, "mode": "test_only", "ckpt": tag,
+            "eval_steps": eval_steps, "test_nll": test_nll,
+        }))
+        return 0
+
+    lip_key = jax.random.PRNGKey(args.seed + 97)
     for epoch in range(start_epoch, args.nb_epoch):
         t0 = time.time()
         losses = []
@@ -173,8 +235,13 @@ def main():
             else:
                 n_steps = args.nb_steps
             nodes, weights = padded_cc_quadrature(n_steps, max_steps)
+            extras = (nodes, weights)
+            if lipschitz:
+                # fresh power-iteration init key per step (advisor r2)
+                lip_key, k = jax.random.split(lip_key)
+                extras = (nodes, weights, k)
             params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(b), nodes, weights
+                params, opt_state, jnp.asarray(b), *extras
             )
             losses.append(loss)
         train_nll = float(jnp.stack(losses).mean())

@@ -37,6 +37,7 @@ import optax
 
 from umnn_tpu.data.images import load_vae_dataset
 from umnn_tpu.models.vae import VAE_FAMILIES, calculate_loss, calculate_loss_array
+from umnn_tpu.models.vae.losses import bits_per_dim
 from umnn_tpu.models.vae.iwae import calculate_likelihood
 from umnn_tpu.ops.quadrature import padded_cc_quadrature
 from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
@@ -79,6 +80,12 @@ def main():
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-folder", default="runs/vae")
     p.add_argument("-synthetic", action="store_true")
+    p.add_argument(
+        "-eval_only", action="store_true",
+        help="skip training: load the best-valid checkpoint from -folder and "
+             "run the final test ELBO + IWAE protocol (use to rerun IWAE at "
+             "the reference S=5000/MB=500 on a committed run)",
+    )
     p.add_argument(
         "-plot_every", type=int, default=1,
         help="reconstruction/prior-sample grid cadence in epochs (0 = off)",
@@ -148,20 +155,23 @@ def main():
     def loss_fn(prm, batch, rng, beta, nodes, weights):
         x = batch.reshape(-1, c, hh, ww)
         x_mean, z_mu, z_var, ldj, z0, zk = apply_model(prm, x, rng, nodes, weights)
-        loss, rec, kl = calculate_loss(
+        loss, rec, kl, bpd = calculate_loss(
             x_mean, x, z_mu, z_var, z0, zk, ldj,
             data.input_type, data.input_size, beta,
         )
-        return loss, (rec, kl)
+        return loss, (rec, kl, bpd)
 
     # per-batch Lipschitz projection fused into the compiled step
-    # (`training.py:46-48` projects after every opt.step)
+    # (`training.py:46-48` projects after every opt.step). The power-
+    # iteration init key is derived from the step's (already per-batch
+    # fresh) reparameterization rng, so every projection starts from an
+    # independent vector like the reference's fresh torch.randn (advisor r2)
     post_update = None
     if is_mmaf and args.Lipshitz > 0:
-        lip_key = jax.random.PRNGKey(args.seed + 97)
 
-        def post_update(prm):
-            return model.force_lipschitz(prm, lip_key, args.Lipshitz)
+        def post_update(prm, rng, beta, nodes, weights):
+            lip_k = jax.random.fold_in(rng, 0x11B)
+            return model.force_lipschitz(prm, lip_k, args.Lipshitz)
 
     train_step = make_train_step(
         loss_fn, optimizer, mesh,
@@ -209,7 +219,15 @@ def main():
     key = jax.random.PRNGKey(args.seed + 2)
     best_valid, patience, best_params = float("inf"), 0, params
 
-    for epoch in range(args.nb_epoch):
+    if args.eval_only:
+        loaded = ckpt.load_best("valid", params)
+        if loaded is None:
+            logger.info("-eval_only: no best_valid checkpoint under %s", ckpt.directory)
+            return 1
+        best_params = loaded
+        logger.info("eval-only: loaded best-valid checkpoint from %s", ckpt.directory)
+
+    for epoch in range(0 if args.eval_only else args.nb_epoch):
         t0 = time.time()
         beta = min(
             (epoch + 1) * 1.0 / max(args.warmup, 1), args.max_beta
@@ -230,7 +248,7 @@ def main():
             else:
                 nodes = weights = jnp.zeros(0)  # unused by non-MMAF models
             key, k = jax.random.split(key)
-            params, opt_state, loss, (rec, kl) = train_step(
+            params, opt_state, loss, (rec, kl, bpd) = train_step(
                 params, opt_state, jnp.asarray(b), k, jnp.float32(beta),
                 nodes, weights,
             )
@@ -246,9 +264,19 @@ def main():
             raise ValueError(f"NaN/inf validation loss at epoch {epoch}")
         metrics.scalar("train_loss", train_loss, epoch)
         metrics.scalar("valid_loss", valid_loss, epoch)
+        if data.input_type == "multinomial":
+            # per-epoch bits/dim for multinomial datasets (`training.py:157`)
+            metrics.scalar(
+                "valid_bpd", float(bits_per_dim(valid_loss, data.input_size)), epoch
+            )
         logger.info(
-            "epoch %3d  beta %.3f  train %.2f  valid %.2f  (%.1fs)",
-            epoch, beta, train_loss, valid_loss, time.time() - t0,
+            "epoch %3d  beta %.3f  train %.2f  valid %.2f%s  (%.1fs)",
+            epoch, beta, train_loss, valid_loss,
+            (
+                f"  valid bpd {bits_per_dim(valid_loss, data.input_size):.4f}"
+                if data.input_type == "multinomial" else ""
+            ),
+            time.time() - t0,
         )
         # reconstruction + prior-sample grids on the first valid batch
         # (`training.py:100-130`, `visual_evaluation.py:9-53`)
@@ -290,7 +318,15 @@ def main():
                 logger.info("early stopping at epoch %d", epoch)
                 break
 
-    # final IWAE test log-likelihood, particle axis sharded over the mesh
+    # final evaluation on the BEST params: test-set ELBO (for the
+    # multinomial `bpd (elbo)` line, `training.py:157-163`) then the IWAE
+    # log-likelihood with the particle axis sharded over the mesh
+    tloss, t_n = [], 0
+    for b, nv in batch_iter(data.tst, args.b_size, rng_np, shuffle=False, with_counts=True):
+        key, k = jax.random.split(key)
+        tloss.append(eval_step(best_params, jnp.asarray(b), k)[:nv].sum())
+        t_n += nv
+    test_elbo = float(jnp.stack(tloss).sum()) / max(t_n, 1)
     tst = data.tst
     if args.iwae_test_points:
         tst = tst[: args.iwae_test_points]
@@ -302,11 +338,22 @@ def main():
         minibatch=args.iwae_minibatch, mesh=mesh,
         apply_kwargs=quad or None,  # MMAF IWAE at 100 steps (`training.py:169-170`)
     )
-    logger.info("FINAL test IWAE ll: %.4f (S=%d)", ll_mean, n_s)
-    print(json.dumps({
+    logger.info("FINAL test ELBO: %.4f  test IWAE ll: %.4f (S=%d)", test_elbo, ll_mean, n_s)
+    out = {
         "dataset": args.dataset, "flow": fam,
-        "best_valid_elbo": best_valid, "test_iwae_ll": ll_mean,
-    }))
+        "best_valid_elbo": None if np.isinf(best_valid) else best_valid,
+        "test_elbo": test_elbo,
+        "test_iwae_ll": ll_mean, "iwae_samples": n_s,
+    }
+    if data.input_type == "multinomial":
+        # reference reporting for multinomial datasets (`training.py:160-167`):
+        # bpd of the test ELBO and bpd of the IWAE NLL (`log_likelihood.py:53-54`)
+        bpd_elbo = float(bits_per_dim(test_elbo, data.input_size))
+        bpd_ll = float(bits_per_dim(-ll_mean, data.input_size))
+        logger.info("====> Test set bpd (elbo): %.4f", bpd_elbo)
+        logger.info("====> Test set bpd (log-likelihood): %.4f", bpd_ll)
+        out.update(test_bpd_elbo=bpd_elbo, test_bpd_ll=bpd_ll)
+    print(json.dumps(out))
     return 0
 
 

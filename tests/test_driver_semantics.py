@@ -153,3 +153,148 @@ def test_retry_transient_behavior():
     with pytest.raises(jax.errors.JaxRuntimeError):
         retry_transient(counting_real, retries=3, base_delay=0.0)(1)
     assert calls["n"] == 1  # non-transient: no retry
+
+
+def test_plateau_matches_torch_reduce_lr_on_plateau():
+    """A/B against torch's actual ReduceLROnPlateau at the reference config
+    (factor=0.5, patience=5, threshold=1e-2 — `UCIExperiments.py:86-87,
+    209,213`) over adversarial metric sequences: tiny sub-threshold
+    improvements, plateaus, negative losses (rel-threshold sign behavior),
+    and post-reduction recovery."""
+    import torch
+
+    from umnn_tpu.training.loops import ReduceLROnPlateau
+
+    rng = np.random.RandomState(0)
+    sequences = [
+        # sub-1% improvements must count as plateau
+        list(10.0 * (1 - 0.001) ** np.arange(30)),
+        # hard plateau then drop then plateau
+        [5.0] * 8 + [1.0] + [1.0] * 12,
+        # negative losses (UCI NLLs go negative): rel threshold flips side
+        list(-1.0 - 0.05 * np.arange(20)),
+        [-0.63] * 14,
+        # noisy decay
+        list(3.0 * np.exp(-0.05 * np.arange(40)) + 0.01 * rng.randn(40)),
+    ]
+    for seq in sequences:
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1e-3)
+        tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, factor=0.5, patience=5, threshold=1e-2
+        )
+        ours = ReduceLROnPlateau(factor=0.5, patience=5)
+        lr = 1e-3
+        for metric in seq:
+            tsched.step(metric)
+            lr = ours.update(float(metric), lr)
+            torch_lr = opt.param_groups[0]["lr"]
+            assert lr == pytest.approx(torch_lr, rel=1e-12), (
+                f"diverged at metric {metric}: ours {lr} vs torch {torch_lr}"
+            )
+
+
+def test_retry_transient_deadline_not_retried():
+    """DEADLINE_EXCEEDED can surface after a donating step consumed its
+    inputs — it must NOT be treated as transient (advisor r2)."""
+    from umnn_tpu.training.loops import retry_transient
+
+    calls = {"n": 0}
+
+    def deadline(x):
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError("DEADLINE_EXCEEDED: rpc timed out")
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        retry_transient(deadline, retries=3, base_delay=0.0)(1)
+    assert calls["n"] == 1
+
+
+def test_retry_transient_reraises_original_on_deleted_buffer():
+    """If a retry trips over already-donated buffers, the ORIGINAL transient
+    error is re-raised, not the confusing deleted-buffer one (advisor r2)."""
+    from umnn_tpu.training.loops import retry_transient
+
+    calls = {"n": 0}
+
+    def misclassified(x):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: remote_compile: flaked but actually dispatched"
+            )
+        raise jax.errors.JaxRuntimeError(
+            "INVALID_ARGUMENT: buffer has been deleted or donated"
+        )
+
+    with pytest.raises(jax.errors.JaxRuntimeError, match="remote_compile"):
+        retry_transient(misclassified, retries=3, base_delay=0.0)(1)
+    assert calls["n"] == 2
+
+
+def test_post_update_receives_step_extras():
+    """post_update gets the step's extra loss args so drivers can thread a
+    fresh per-step power-iteration key (advisor r2: a fixed init vector can
+    persistently underestimate sigma)."""
+    opt = make_optimizer("adam", lr=0.1, grad_clip=None)
+
+    def loss_fn(p, b, scale):
+        return jnp.sum((p["w"] * b * scale) ** 2)
+
+    def post(p, scale):  # traced: must use the extra arithmetically
+        return {"w": p["w"] * 0 + scale}
+
+    step = make_train_step(loss_fn, opt, post_update=post)
+    params = {"w": jnp.asarray([2.0])}
+    state = opt.init(params)
+    for s in (3.0, 7.0):
+        params, state, _ = step(params, state, jnp.asarray([1.0]), jnp.float32(s))
+        assert float(params["w"][0]) == pytest.approx(s)
+
+
+def test_synthetic_rows_scaling_and_floor_consistency():
+    """Real-scale synthetic rows: load_uci(synthetic_rows=n) splits n rows
+    10/10 and synthetic_floor(n) shares the same draw — the z-scored data
+    under the true density must score exactly the floor (model-free check:
+    mean true-NLL over the loader's own test split == floor)."""
+    from umnn_tpu.data.uci import (
+        SYNTH_REAL_ROWS,
+        _synthetic_draw,
+        _tail_splits_10_10,
+        load_uci,
+        synthetic_floor,
+    )
+
+    n = 5000
+    data = load_uci("power", synthetic=True, synthetic_rows=n)
+    assert len(data.trn) + len(data.val) + len(data.tst) == n
+    assert len(data.tst) == n // 10
+
+    # floor consistency: recompute the true mixture NLL from the shared draw
+    raw, centers, A = _synthetic_draw("power", n_rows=n)
+    trn, val, tst = _tail_splits_10_10(raw)
+    s = np.vstack([trn, val]).std(0)
+    cov = A.T @ A
+    prec, (_, logdet) = np.linalg.inv(cov), np.linalg.slogdet(cov)
+    lps = [
+        -0.5 * (
+            np.einsum("ni,ij,nj->n", tst - c, prec, tst - c)
+            + raw.shape[1] * np.log(2 * np.pi) + logdet
+        )
+        for c in centers
+    ]
+    lp = np.logaddexp.reduce(np.stack(lps), 0) - np.log(3)
+    expected = float(-(lp + np.log(s).sum()).mean())
+    assert synthetic_floor("power", n_rows=n) == pytest.approx(expected, rel=1e-12)
+
+    # a deliberately-wrong density (standard normal on z-scored data) must
+    # score strictly worse than the floor
+    d = data.tst.shape[1]
+    naive = float(
+        (0.5 * (data.tst.astype(np.float64) ** 2).sum(1)
+         + 0.5 * d * np.log(2 * np.pi)).mean()
+    )
+    assert naive > synthetic_floor("power", n_rows=n)
+
+    # real-scale table exists for every dataset
+    assert set(SYNTH_REAL_ROWS) == {"power", "gas", "hepmass", "miniboone", "bsds300"}

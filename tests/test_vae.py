@@ -333,3 +333,42 @@ def test_iwae_tail_chunk_mesh_divisibility():
     )
     assert np.isfinite(per_a).all() and per_a.shape == (3,)
     np.testing.assert_array_equal(per_a, per_b)
+
+
+def test_calculate_loss_returns_reference_bpd():
+    """calculate_loss returns bpd: 0 for binary (`loss.py:245`), and
+    loss/(prod(input_size)*ln2) for multinomial (`loss.py:249`). With
+    uniform logits, a pixel-matching flat posterior/prior (kl=0 by
+    construction below), the CE term is exactly 560*ln(256) nats ->
+    rec bpd exactly 8.0 bits/dim."""
+    import jax
+    import jax.numpy as jnp
+
+    from umnn_tpu.models.vae.losses import bits_per_dim, calculate_loss
+
+    input_size = (1, 28, 20)
+    n_pix = 28 * 20
+    B, Z = 3, 4
+    key = jax.random.PRNGKey(0)
+    x = jnp.floor(jax.random.uniform(key, (B, *input_size)) * 256) / 255.0
+    logits = jnp.zeros((B, 256, *input_size))  # uniform 256-way head
+    # z0 == zk with matching diag-gaussian posterior == prior -> kl = 0
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, Z))
+    z_mu, z_var = jnp.zeros((B, Z)), jnp.ones((B, Z))
+    ldj = jnp.zeros((B,))
+
+    loss, rec, kl, bpd = calculate_loss(
+        logits, x, z_mu, z_var, z, z, ldj, "multinomial", input_size
+    )
+    assert float(kl) == pytest.approx(0.0, abs=1e-5)
+    assert float(rec) == pytest.approx(n_pix * np.log(256.0), rel=1e-4)
+    assert float(bpd) == pytest.approx(float(loss) / (n_pix * np.log(2.0)), rel=1e-6)
+    assert float(bits_per_dim(rec, input_size)) == pytest.approx(8.0, rel=1e-4)
+
+    # binary: bpd is exactly 0 like the reference
+    xb = (x > 0.5).astype(jnp.float32)
+    probs = jnp.full((B, *input_size), 0.5)
+    _, _, _, bpd_b = calculate_loss(
+        probs, xb, z_mu, z_var, z, z, ldj, "binary", input_size
+    )
+    assert float(bpd_b) == 0.0

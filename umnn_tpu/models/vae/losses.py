@@ -81,11 +81,32 @@ def multinomial_loss_array(x_logit, x, z_mu, z_var, z0, zk, ldj, input_size, bet
     return ce + beta * (log_q_z0 - log_p_zk - ldj)
 
 
+def bits_per_dim(nats: jax.Array | float, input_size) -> jax.Array | float:
+    """nats -> bits/dim over the image: ``nats / (prod(input_size) * ln 2)``
+    (`loss.py:249`, `training.py:157-158`, `log_likelihood.py:53-54`)."""
+    import math
+
+    import numpy as np
+
+    return nats / (float(np.prod(input_size)) * math.log(2.0))
+
+
 def calculate_loss(x_mean, x, z_mu, z_var, z0, zk, ldj, input_type, input_size, beta=1.0):
-    """Dispatcher (`loss.py:238-254`)."""
+    """Dispatcher -> (loss, rec, kl, bpd) (`loss.py:238-254`).
+
+    ``bpd`` is the reference's multinomial bits-per-dim of the full ELBO
+    (``loss / (prod(input_size) * ln 2)``, `loss.py:249`); 0.0 for binary
+    inputs exactly like the reference (`loss.py:245`).
+    """
     if input_type == "binary":
-        return binary_loss(x_mean, x, z_mu, z_var, z0, zk, ldj, beta)
-    return multinomial_loss(x_mean, x, z_mu, z_var, z0, zk, ldj, input_size, beta)
+        loss, rec, kl = binary_loss(x_mean, x, z_mu, z_var, z0, zk, ldj, beta)
+        bpd = jnp.zeros(())
+    else:
+        loss, rec, kl = multinomial_loss(
+            x_mean, x, z_mu, z_var, z0, zk, ldj, input_size, beta
+        )
+        bpd = bits_per_dim(loss, input_size)
+    return loss, rec, kl, bpd
 
 
 def calculate_loss_array(x_mean, x, z_mu, z_var, z0, zk, ldj, input_type, input_size):

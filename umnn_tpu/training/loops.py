@@ -28,31 +28,45 @@ from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
 
 Params = Any
 
-# substrings marking *transient* remote-compile failures (seen on the
+# substrings marking *transient* COMPILE-PHASE failures (seen on the
 # tunneled TPU service): safe to retry because nothing executed — input
-# buffers (incl. donated ones) are only consumed on successful dispatch
-_TRANSIENT_ERRORS = ("remote_compile", "response body closed", "DEADLINE_EXCEEDED")
+# buffers (incl. donated ones) are only consumed on successful dispatch.
+# DEADLINE_EXCEEDED is deliberately NOT in this list: it can surface after
+# a donate_argnums step has already consumed its input buffers, in which
+# case a retry would feed deleted buffers (advisor finding r2).
+_TRANSIENT_ERRORS = ("remote_compile", "response body closed")
+
+# a retry that trips over already-donated inputs raises one of these; the
+# ORIGINAL failure is the actionable error, so re-raise that instead
+_DONATED_ERRORS = ("deleted", "donated", "has been freed")
 
 
 def retry_transient(fn: Callable, retries: int = 3, base_delay: float = 5.0):
-    """Wrap a jitted step: retry transient remote-compile failures.
+    """Wrap a jitted step: retry transient compile-phase failures.
 
     A flaky compile service otherwise kills multi-hour training runs at the
     first step (it ended one round-2 MNIST run). Non-transient errors and
-    exhausted retries re-raise unchanged.
+    exhausted retries re-raise unchanged. If a retry fails because the
+    original (mis-classified) failure had already consumed donated input
+    buffers, the original exception is re-raised rather than the confusing
+    deleted-buffer one.
     """
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
+        original: Exception | None = None
         for attempt in range(retries):
             try:
                 return fn(*args, **kwargs)
             except jax.errors.JaxRuntimeError as e:
                 msg = str(e)
+                if original is not None and any(t in msg for t in _DONATED_ERRORS):
+                    raise original
                 if attempt == retries - 1 or not any(
                     t in msg for t in _TRANSIENT_ERRORS
                 ):
                     raise
+                original = e
                 time.sleep(base_delay * (attempt + 1))
         raise AssertionError("unreachable")
 
@@ -123,12 +137,15 @@ def make_train_step(
     labels) or ``"rep"`` for replicated ones (e.g. quadrature weights, rng
     keys, scalars).
 
-    ``post_update``: optional params -> params projection applied after the
-    optimizer update *inside* the compiled step — e.g. the Lipschitz weight
-    projection the reference runs after every ``opt.step()``
+    ``post_update``: optional ``(params, *extras) -> params`` projection
+    applied after the optimizer update *inside* the compiled step — e.g. the
+    Lipschitz weight projection the reference runs after every ``opt.step()``
     (`UCIExperiments.py:145-147`, `MNISTExperiment.py:166-167`,
     `training.py:46-48`). Fusing it into the step keeps the per-batch cadence
-    without an extra device dispatch.
+    without an extra device dispatch. It receives the step's extra loss args
+    so drivers can thread per-step randomness (e.g. a fresh power-iteration
+    init key each batch, like the reference's fresh ``torch.randn`` per
+    ``forceLipshitz`` call) without retracing.
     """
 
     def step(params, opt_state, batch, *extras):
@@ -138,7 +155,7 @@ def make_train_step(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if post_update is not None:
-            params = post_update(params)
+            params = post_update(params, *extras)
         loss, aux = out if has_aux else (out, None)
         if has_aux:
             return params, opt_state, loss, aux
@@ -220,25 +237,42 @@ def make_eval_step(loss_fn: Callable[[Params, Any], jax.Array], mesh=None):
 
 @dataclasses.dataclass
 class ReduceLROnPlateau:
-    """Host-side LR schedule: halve when the monitored loss plateaus
-    (reference `UCIExperiments.py:86-87`, factor/patience from torch
-    defaults used there)."""
+    """Host-side LR schedule matching torch's ReduceLROnPlateau exactly as
+    the reference configures it: ``ReduceLROnPlateau(opt, factor=s_rate,
+    patience=s_patience, threshold=1e-2)`` (`UCIExperiments.py:86-87`) with
+    CLI defaults s_rate=0.5, s_patience=5 (`UCIExperiments.py:209,213`).
+
+    torch semantics replicated: mode='min', threshold_mode='rel' (the torch
+    default) so an epoch only counts as improvement when
+    ``metric < best * (1 - threshold)``; LR reduces when ``bad_epochs >
+    patience``; ``bad_epochs`` resets on reduction; reductions smaller than
+    ``eps`` are skipped; min_lr defaults to 0 like torch.
+    """
 
     factor: float = 0.5
-    patience: int = 10
-    min_lr: float = 1e-6
+    patience: int = 5
+    threshold: float = 1e-2
+    min_lr: float = 0.0
+    eps: float = 1e-8
     best: float = float("inf")
     bad_epochs: int = 0
 
+    def _is_better(self, metric: float) -> bool:
+        # torch rel/min rule: a < best * (1 - threshold), sign included
+        # (for negative best the margin flips side — replicated verbatim)
+        return metric < self.best * (1.0 - self.threshold)
+
     def update(self, metric: float, lr: float) -> float:
-        if metric < self.best - 1e-12:
+        if self._is_better(metric):
             self.best = metric
             self.bad_epochs = 0
             return lr
         self.bad_epochs += 1
         if self.bad_epochs > self.patience:
             self.bad_epochs = 0
-            return max(lr * self.factor, self.min_lr)
+            new_lr = max(lr * self.factor, self.min_lr)
+            if lr - new_lr > self.eps:  # torch skips sub-eps updates
+                return new_lr
         return lr
 
 

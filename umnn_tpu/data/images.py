@@ -116,6 +116,77 @@ def load_mnist_flow(
     )
 
 
+# --- correlated synthetic MNIST-flow gate (AR(1) Gaussian copula) -------------
+
+
+def synthetic_mnist_ar1(
+    rho: float = 0.7,
+    seed: int = 0,
+    n: tuple[int, int, int] = (20000, 2000, 5000),
+):
+    """Correlated 784-d synthetic stand-in with an EXACT bits/pixel floor.
+
+    The uniform-uint8 synthetic gate (`load_mnist_flow(synthetic=True)`)
+    validates the bpp bookkeeping but never stresses the conditioner: a
+    model that ignores all inter-pixel dependence also scores its 8.0 bpp
+    floor (VERDICT r2 weak #4). This generator replaces the ground truth
+    with a raster-order AR(1) Gaussian copula: z_1 ~ N(0,1),
+    z_{i+1} = rho*z_i + sqrt(1-rho^2)*eps, pixels y_i = Phi(z_i) — uniform
+    marginals (so any independence model still scores exactly 8.0 bpp) but
+    mutual information I = -(783/2)*ln(1-rho^2) nats, all of which the MADE
+    conditioner must learn to reach the floor.
+
+    Pixels are continuous in (0,1) (pre-dequantized), pushed through the
+    same ``alpha + (1-2*alpha)*y`` logit map as the real pipeline
+    (`lib/transform.py:5-20`). Returns ``(FlowImageData, floor_bpp)`` where
+    ``floor_bpp`` is the bpp of the TRUE density on this exact test split,
+    evaluated through the driver's own bpp formula (`UMNNMAF.py:164-170`) —
+    a perfect model scores it with zero MC slack; the gap is the model's KL.
+    """
+    rng = np.random.RandomState(seed)
+    from scipy.stats import norm
+
+    d = 784
+    n_tot = sum(n)
+    eps = rng.randn(n_tot, d)
+    z = np.empty((n_tot, d))
+    z[:, 0] = eps[:, 0]
+    c = np.sqrt(1.0 - rho * rho)
+    for i in range(1, d):
+        z[:, i] = rho * z[:, i - 1] + c * eps[:, i]
+    y = norm.cdf(z)
+    v = ALPHA + (1 - 2 * ALPHA) * y
+    x = np.log(v / (1.0 - v))
+
+    # exact log-density of x: log p_y(y) + sum log |dy/dx|
+    # p_y(y) = p_z(z) / prod phi(z_i);  dy/dx = sig(x)(1-sig(x))/(1-2a)
+    def true_bpp(xs, zs):
+        lp_z = norm.logpdf(zs[:, 0]) + norm.logpdf(
+            (zs[:, 1:] - rho * zs[:, :-1]) / c
+        ).sum(axis=1) - (d - 1) * np.log(c)
+        lp_y = lp_z - norm.logpdf(zs).sum(axis=1)
+        sig = 1.0 / (1.0 + np.exp(-xs))
+        log_dydx = np.log(sig) + np.log1p(-sig) - np.log(1 - 2 * ALPHA)
+        ll = lp_y + log_dydx.sum(axis=1)  # log p_x(x)
+        # the driver's bpp formula (`UMNNMAF.py:164-170`) on the true ll
+        bpp = (
+            -ll / (d * np.log(2))
+            - np.log2(1 - 2 * ALPHA)
+            + 8
+            + (np.log2(sig) + np.log2(1 - sig)).sum(axis=1) / d
+        )
+        return float(bpp.mean())
+
+    n1, n2, _ = n
+    splits = np.split(x.astype(np.float32), [n1, n1 + n2])
+    zeros = [np.zeros(len(s), dtype=np.int64) for s in splits]
+    floor = true_bpp(x[n1 + n2 :], z[n1 + n2 :])
+    data = FlowImageData(
+        splits[0], zeros[0], splits[1], zeros[1], splits[2], zeros[2]
+    )
+    return data, floor
+
+
 # --- VAE image loaders (`vae_lib/utils/load_data.py`) --------------------------
 
 

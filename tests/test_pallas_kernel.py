@@ -45,21 +45,27 @@ def oracle(layers, x, h, neg_slope=0.01):
     return out.reshape(x.shape)
 
 
-@pytest.mark.parametrize("pack2", [False, True])
-def test_forward_matches_oracle(setup, pack2):
+def _pack_kwargs(pack):
+    """Pin an explicit pack level (1 = unpacked) — auto-selection would
+    otherwise route every eligible shape to pack4."""
+    return dict(pack2=pack == 2, pack4=pack == 4)
+
+
+@pytest.mark.parametrize("pack", [1, 2, 4])
+def test_forward_matches_oracle(setup, pack):
     layers, ws, bs, x, h, nodes, ccw = setup
     z_k = fused_cc_integral(
-        ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True, pack2=pack2
+        ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True, **_pack_kwargs(pack)
     )
     z_o = oracle(layers, x, h)
     np.testing.assert_allclose(z_k, z_o, rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.parametrize(
-    "dw_mode,pack2",
-    [("per_layer", False), ("batched", False), ("per_layer", True)],
+    "dw_mode,pack",
+    [("per_layer", 1), ("batched", 1), ("per_layer", 2), ("per_layer", 4)],
 )
-def test_all_gradients_match_oracle(setup, dw_mode, pack2):
+def test_all_gradients_match_oracle(setup, dw_mode, pack):
     layers, ws, bs, x, h, nodes, ccw = setup
 
     def loss_k(ws, bs, x, h):
@@ -67,7 +73,7 @@ def test_all_gradients_match_oracle(setup, dw_mode, pack2):
             jnp.sin(
                 fused_cc_integral(
                     ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True,
-                    dw_mode=dw_mode, pack2=pack2,
+                    dw_mode=dw_mode, **_pack_kwargs(pack),
                 )
             )
         )
@@ -211,3 +217,36 @@ def test_auto_backend_threshold_width_aware():
     assert min_rows((50, 50)) == 2560  # pack2-eligible
     assert min_rows((50, 50), e=80) == 12288  # conditioning too wide to pack
     assert min_rows((100, 50)) == 4096  # wide integrand
+
+
+def test_pack4_applicability_rules():
+    """pack4 activates only when every layer's block fits a QUARTER of the
+    lanes (toy/monotonic shapes); wider shapes fall back to pack2/unpacked."""
+    from umnn_tpu.ops.integrand_kernel import _pack4_applicable
+
+    def fake(sizes):
+        return [jnp.zeros((a, b)) for a, b in zip(sizes[:-1], sizes[1:])]
+
+    assert _pack4_applicable(fake([5, 16, 16, 1]))   # test/toy shape
+    assert _pack4_applicable(fake([31, 32, 32, 1]))  # boundary
+    assert not _pack4_applicable(fake([33, 32, 32, 1]))  # 1+e too wide
+    assert not _pack4_applicable(fake([31, 50, 50, 50, 50, 1]))  # UCI: pack2 only
+    assert not _pack4_applicable(fake([5, 1]))  # no hidden layer
+
+
+def test_pack4_odd_node_counts(setup):
+    """K not divisible by 4: zero-weight padding groups must not change the
+    integral (K=13 -> 16 slots; K=51 -> 52)."""
+    layers, ws, bs, x, h, _, _ = setup
+    for nb in (12, 50):  # K = nb + 1
+        n_np, w_np = cc_quadrature(nb)
+        nodes = jnp.asarray(n_np, jnp.float32)
+        ccw = jnp.asarray(w_np, jnp.float32)
+        zp = fused_cc_integral(
+            ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True, pack4=True
+        )
+        zu = fused_cc_integral(
+            ws, bs, x, h, nodes, ccw, tile_r=8, interpret=True,
+            pack2=False, pack4=False,
+        )
+        np.testing.assert_allclose(zp, zu, rtol=1e-5, atol=1e-6)

@@ -214,6 +214,9 @@ class UMNNMAF:
     pallas_dw_mode: str = "per_layer"
     # 2-node lane packing (None = auto when every layer fits 64 lanes)
     pallas_pack2: bool | None = None
+    # 4-node lane packing (None = auto when every layer fits 32 lanes;
+    # takes priority over pack2)
+    pallas_pack4: bool | None = None
 
     def __post_init__(self):
         net = EmbeddingNetwork(
@@ -310,6 +313,7 @@ class UMNNMAF:
                 node_chunk=self.pallas_node_chunk,
                 dw_mode=self.pallas_dw_mode,
                 pack2=self.pallas_pack2,
+                pack4=self.pallas_pack4,
             )
         elif self.solver == "CC":
             # node-sequential low-memory path (`NeuralIntegral.py:37-99`)

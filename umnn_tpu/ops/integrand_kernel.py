@@ -506,6 +506,349 @@ def _bwd_kernel_p2(
     s_ref[:] = s_sum
 
 
+# ---------------------------------------------------------------------------
+# 4-node lane packing (pack4): generalizes pack2 to FOUR nodes per matmul row
+# for integrands whose widths fit in 32 lanes (toy/monotonic shapes:
+# 1+e <= 32, hidden <= 32) — quadrupling lane occupancy and quartering the
+# folded M dimension. Feature layout per row: [x,h]*4 with the four x columns
+# scaled by different node positions; weights diag(W,W,W,W) (output layer:
+# four one-hot columns). Node/CC-weight columns ride ONE [K4, 4] ref each.
+# (VERDICT r2 next-step #6.)
+# ---------------------------------------------------------------------------
+
+PN = 4  # slots for the pack4 kernels
+
+
+def _fwd_kernel_pn(
+    nodes_ref, ccw_ref, feat_ref, *rest, neg_slope, node_chunk, k_pad, stride
+):
+    n_layers = len(rest) // 2
+    ws = rest[:n_layers]
+    bs = rest[n_layers : 2 * n_layers]
+    out_ref = rest[2 * n_layers]
+    feat = feat_ref[:]
+    T = feat.shape[0]
+    NC = node_chunk
+    n_chunks = k_pad // NC
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, feat.shape, 1)
+    x_end = feat[:, 0:1]
+
+    is_x_col = col_ids == 0
+    for j in range(1, PN):
+        is_x_col = is_x_col | (col_ids == j * stride)
+    feat_h = jnp.where(is_x_col, 0.0, feat)
+    ph = jnp.dot(feat_h, ws[0][:], preferred_element_type=jnp.float32) + bs[0][:]
+    w1x = [ws[0][j * stride : j * stride + 1, :] for j in range(PN)]
+    H1 = ph.shape[1]
+
+    def chunk_body(c, acc):
+        s3 = [
+            ((nodes_ref[pl.ds(c * NC, NC), j : j + 1] + 1.0) * 0.5)[:, :, None]
+            for j in range(PN)
+        ]  # each [NC, 1, 1]
+        pre1 = ph[None]
+        for j in range(PN):
+            pre1 = pre1 + (s3[j] * x_end[None]) * w1x[j][None]
+        a = _leaky(pre1, neg_slope).reshape(NC * T, H1)
+        for i in range(1, n_layers - 1):
+            a = _leaky(
+                jnp.dot(a, ws[i][:], preferred_element_type=jnp.float32) + bs[i][:],
+                neg_slope,
+            )
+        zL = (
+            jnp.dot(a, ws[n_layers - 1][:], preferred_element_type=jnp.float32)
+            + bs[n_layers - 1][:]
+        )
+        add = jnp.zeros((T, 1), jnp.float32)
+        for j in range(PN):
+            f3 = _eluplus(zL[:, j : j + 1]).reshape(NC, T, 1)
+            w3 = ccw_ref[pl.ds(c * NC, NC), j : j + 1][:, :, None]
+            add = add + jnp.sum(w3 * f3, axis=0)
+        return acc + add
+
+    acc = jax.lax.fori_loop(0, n_chunks, chunk_body, jnp.zeros((T, 1), jnp.float32))
+    out_ref[:] = acc * x_end * 0.5
+
+
+def _bwd_kernel_pn(
+    nodes_ref, ccw_ref, feat_ref, g_ref, *rest, neg_slope, node_chunk, k_pad, stride
+):
+    n_layers = (len(rest) - 2) // 4
+    ws = rest[:n_layers]
+    bs = rest[n_layers : 2 * n_layers]
+    dfeat_ref = rest[2 * n_layers]
+    dws = rest[2 * n_layers + 1 : 3 * n_layers + 1]
+    dbs = rest[3 * n_layers + 1 : 4 * n_layers + 1]
+    s_ref = rest[4 * n_layers + 1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for i in range(n_layers):
+            dws[i][:] = jnp.zeros_like(dws[i])
+            dbs[i][:] = jnp.zeros_like(dbs[i])
+
+    feat = feat_ref[:]
+    g = g_ref[:]
+    T = feat.shape[0]
+    NC = node_chunk
+    n_chunks = k_pad // NC
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, feat.shape, 1)
+    x_end = feat[:, 0:1]
+    gx = g * x_end * 0.5
+
+    is_x_col = col_ids == 0
+    for j in range(1, PN):
+        is_x_col = is_x_col | (col_ids == j * stride)
+    feat_h = jnp.where(is_x_col, 0.0, feat)
+    ph = jnp.dot(feat_h, ws[0][:], preferred_element_type=jnp.float32) + bs[0][:]
+    w1x = [ws[0][j * stride : j * stride + 1, :] for j in range(PN)]
+    H1 = ph.shape[1]
+
+    def contract_rows(a, b):
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    wTs = [ws[i][:].T for i in range(n_layers)]
+
+    def chunk_body(c, carry):
+        dfeat, s_acc = carry
+        s3 = [
+            ((nodes_ref[pl.ds(c * NC, NC), j : j + 1] + 1.0) * 0.5)[:, :, None]
+            for j in range(PN)
+        ]
+        xs3 = [s3[j] * x_end[None] for j in range(PN)]
+        pre1 = ph[None]
+        for j in range(PN):
+            pre1 = pre1 + xs3[j] * w1x[j][None]
+        a = _leaky(pre1.reshape(NC * T, H1), neg_slope)
+        acts = [a]
+        for i in range(1, n_layers - 1):
+            z = jnp.dot(a, ws[i][:], preferred_element_type=jnp.float32) + bs[i][:]
+            a = _leaky(z, neg_slope)
+            acts.append(a)
+        zL = jnp.dot(a, ws[n_layers - 1][:], preferred_element_type=jnp.float32)
+        fs = [
+            _eluplus(zL[:, j : j + 1] + bs[n_layers - 1][0:1, j : j + 1])
+            for j in range(PN)
+        ]
+        w3 = [
+            ccw_ref[pl.ds(c * NC, NC), j : j + 1][:, :, None] for j in range(PN)
+        ]
+        s_add = jnp.zeros((T, 1), jnp.float32)
+        for j in range(PN):
+            s_add = s_add + jnp.sum(w3[j] * fs[j].reshape(NC, T, 1), axis=0)
+        s_acc = s_acc + s_add
+        dzL = [
+            (w3[j] * gx[None]).reshape(NC * T, 1) * jnp.minimum(fs[j], 1.0)
+            for j in range(PN)
+        ]
+        # output layer: PN real columns -> PN VPU reductions, stored
+        # TRANSPOSED in rows 0..PN-1 of the dW ref (un-transposed host-side)
+        aL = acts[n_layers - 2]
+        rowsL = jax.lax.broadcasted_iota(jnp.int32, dws[n_layers - 1].shape, 0)
+        dwL = jnp.zeros_like(dws[n_layers - 1][:])
+        for j in range(PN):
+            rj = jnp.sum(aL * dzL[j], axis=0, keepdims=True)
+            dwL = dwL + jnp.where(rowsL == j, rj, 0.0)
+        dws[n_layers - 1][:] += dwL
+        colsLb = jax.lax.broadcasted_iota(jnp.int32, dbs[n_layers - 1].shape, 1)
+        dbL = jnp.zeros_like(dbs[n_layers - 1][:])
+        for j in range(PN):
+            dbL = dbL + jnp.where(
+                colsLb == j, jnp.sum(dzL[j], axis=0, keepdims=True), 0.0
+            )
+        dbs[n_layers - 1][:] += dbL
+        da = dzL[0] * wTs[n_layers - 1][0:1, :]
+        for j in range(1, PN):
+            da = da + dzL[j] * wTs[n_layers - 1][j : j + 1, :]
+        dz = da * jnp.where(aL > 0, 1.0, neg_slope)
+        for i in range(n_layers - 2, 0, -1):
+            dws[i][:] += contract_rows(acts[i - 1], dz)
+            dbs[i][:] += jnp.sum(dz, axis=0, keepdims=True)
+            da = jnp.dot(dz, wTs[i], preferred_element_type=jnp.float32)
+            dz = da * jnp.where(acts[i - 1] > 0, 1.0, neg_slope)
+        # layer 1 with PN x rows (j * stride)
+        dz3 = dz.reshape(NC, T, H1)
+        dz_sum = jnp.sum(dz3, axis=0)
+        dw1_h = contract_rows(feat_h, dz_sum)
+        w_rows = jax.lax.broadcasted_iota(jnp.int32, dw1_h.shape, 0)
+        dw1 = dw1_h
+        for j in range(PN):
+            dw1_xj = jnp.sum(jnp.sum(xs3[j] * dz3, axis=0), axis=0, keepdims=True)
+            dw1 = jnp.where(w_rows == j * stride, dw1_xj, dw1)
+        dws[0][:] += dw1
+        dbs[0][:] += jnp.sum(dz_sum, axis=0, keepdims=True)
+        dh_nodes = jnp.dot(dz_sum, wTs[0], preferred_element_type=jnp.float32)
+        dx = jnp.zeros((T, 1), jnp.float32)
+        for j in range(PN):
+            dx = dx + jnp.sum(
+                jnp.sum(dz3 * w1x[j][None], axis=2, keepdims=True) * s3[j], axis=0
+            )
+        # all of dx lands in col 0; the other x cols zeroed (their dh slots
+        # are folded host-side)
+        dfeat = dfeat + jnp.where(
+            col_ids == 0, dx, jnp.where(is_x_col, 0.0, dh_nodes)
+        )
+        return dfeat, s_acc
+
+    dfeat, s_sum = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, (jnp.zeros_like(feat), jnp.zeros((T, 1), jnp.float32))
+    )
+    dfeat_ref[:] = dfeat
+    s_ref[:] = s_sum
+
+
+def _packn_params(ws, bs):
+    """Block-diagonal PN-slot weights (real sizes; padding happens after)."""
+    pws, pbs = [], []
+    n = len(ws)
+    for idx, (w, b) in enumerate(zip(ws, bs)):
+        i, o = w.shape
+        if idx == n - 1:
+            wp = jnp.zeros((PN * i, PN), w.dtype)
+            for j in range(PN):
+                wp = wp.at[j * i : (j + 1) * i, j].set(w[:, 0])
+            bp = jnp.concatenate([b] * PN)
+        else:
+            wp = jnp.zeros((PN * i, PN * o), w.dtype)
+            for j in range(PN):
+                wp = wp.at[j * i : (j + 1) * i, j * o : (j + 1) * o].set(w)
+            bp = jnp.concatenate([b] * PN)
+        pws.append(wp)
+        pbs.append(bp)
+    return pws, pbs
+
+
+def _packn_nodes(nodes, ccw, node_chunk):
+    """Deinterleave the node axis into PN slot columns [K/PN, PN]; pad to
+    node_chunk with zero-weight t=-1 nodes."""
+    K = nodes.shape[0]
+    K_r = _round_up(K, PN)
+    if K_r != K:
+        nodes = jnp.concatenate(
+            [nodes, jnp.full((K_r - K, 1), -1.0, nodes.dtype)]
+        )
+        ccw = jnp.concatenate([ccw, jnp.zeros((K_r - K, 1), ccw.dtype)])
+    kp = K_r // PN
+    nodes_p = nodes.reshape(kp, PN)
+    ccw_p = ccw.reshape(kp, PN)
+    kp_pad = _round_up(kp, node_chunk)
+    if kp_pad != kp:
+        pad = kp_pad - kp
+        nodes_p = jnp.concatenate(
+            [nodes_p, jnp.full((pad, PN), -1.0, nodes_p.dtype)]
+        )
+        ccw_p = jnp.concatenate([ccw_p, jnp.zeros((pad, PN), ccw_p.dtype)])
+    return nodes_p, ccw_p, kp_pad
+
+
+def _pack4_applicable(ws) -> bool:
+    """pack4 needs every layer's block to fit in a quarter of the 128 lanes."""
+    return (
+        len(ws) >= 2
+        and ws[0].shape[0] <= 32  # 1 + e
+        and all(w.shape[1] <= 32 for w in ws[:-1])  # hidden widths
+        and ws[-1].shape[1] == 1  # scalar integrand head
+    )
+
+
+def _prep_pn(x, h):
+    """Packed feature rows [x, h] * PN; x columns at j * (1 + e)."""
+    batch_shape = x.shape
+    R = int(np.prod(batch_shape))
+    e = h.shape[-1]
+    stride = 1 + e
+    F = _round_up(PN * stride, LANE)
+    xf = x.reshape(R).astype(jnp.float32)
+    hf = h.reshape(R, e).astype(jnp.float32)
+    feat = jnp.zeros((R, F), jnp.float32)
+    for j in range(PN):
+        feat = feat.at[:, j * stride].set(xf)
+        feat = feat.at[:, j * stride + 1 : (j + 1) * stride].set(hf)
+    return feat, batch_shape, R, e, stride
+
+
+def _run_fwd_pn(
+    pw, pb, feat, nodes_p, ccw_p, tile_r, node_chunk, interpret, neg_slope, stride
+):
+    R, F = feat.shape
+    grid = (R // tile_r,)
+    k_pad = nodes_p.shape[0]
+    node_spec = pl.BlockSpec((k_pad, PN), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [node_spec, node_spec] + [
+        pl.BlockSpec((tile_r, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in pw
+    ] + [
+        pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for b in pb
+    ]
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_pn, neg_slope=neg_slope, node_chunk=node_chunk,
+            k_pad=k_pad, stride=stride,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(nodes_p, ccw_p, feat, *pw, *pb)
+
+
+def _run_bwd_pn(
+    pw, pb, feat, g, nodes_p, ccw_p, tile_r, node_chunk, interpret, neg_slope, stride
+):
+    R, F = feat.shape
+    grid = (R // tile_r,)
+    k_pad = nodes_p.shape[0]
+    node_spec = pl.BlockSpec((k_pad, PN), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [node_spec, node_spec] + [
+        pl.BlockSpec((tile_r, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in pw
+    ] + [
+        pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for b in pb
+    ]
+    out_shape = (
+        [jax.ShapeDtypeStruct((R, F), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in pw]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in pb]
+        + [jax.ShapeDtypeStruct((R, 1), jnp.float32)]
+    )
+    out_specs = (
+        [pl.BlockSpec((tile_r, F), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in pw]
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for b in pb]
+        + [pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_pn, neg_slope=neg_slope, node_chunk=node_chunk,
+            k_pad=k_pad, stride=stride,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(nodes_p, ccw_p, feat, g, *pw, *pb)
+    n_layers = len(pw)
+    return (
+        outs[0],
+        outs[1 : 1 + n_layers],
+        outs[1 + n_layers : 1 + 2 * n_layers],
+        outs[1 + 2 * n_layers],
+    )
+
+
 def _pack2_params(ws, bs):
     """Block-diagonal 2-slot weights (real sizes; padding happens after)."""
     pws, pbs = [], []
@@ -742,10 +1085,10 @@ def _run_bwd_p2(
 )
 def _fused_integral(
     ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, dw_mode,
-    pack2,
+    pack,
 ):
     z, _ = _fused_fwd_impl(
-        ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, pack2
+        ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, pack
     )
     return z
 
@@ -763,10 +1106,22 @@ def _prep(ws, bs, x, h):
 
 
 def _fused_fwd_impl(
-    ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, pack2=False
+    ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, pack=1
 ):
     nodes, ccw = nodes_ccw
-    if pack2:
+    if pack == 4:
+        feat, batch_shape, R, e, stride = _prep_pn(x, h)
+        pw, pb = _pad_params(*_packn_params(ws, bs))
+        nodes_p, ccw_p, _ = _packn_nodes(nodes, ccw, node_chunk)
+        R_pad = _round_up(max(R, tile_r), tile_r)
+        if R_pad != R:
+            feat = jnp.pad(feat, ((0, R_pad - R), (0, 0)))
+        out = _run_fwd_pn(
+            pw, pb, feat, nodes_p, ccw_p, tile_r, node_chunk, interpret,
+            neg_slope, stride,
+        )
+        return out[:R, 0].reshape(batch_shape), (feat, batch_shape, R, e)
+    if pack == 2:
         feat, batch_shape, R, e, x2_col = _prep_p2(x, h)
         pw, pb = _pad_params(*_pack2_params(ws, bs))
         na, nb, ca, cb, _ = _pack2_nodes(nodes, ccw, node_chunk)
@@ -791,20 +1146,24 @@ def _fused_fwd_impl(
 
 def _fused_vjp_fwd(
     ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, dw_mode,
-    pack2,
+    pack,
 ):
     z, _ = _fused_fwd_impl(
-        ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, pack2
+        ws, bs, x, h, nodes_ccw, tile_r, node_chunk, interpret, neg_slope, pack
     )
     return z, (ws, bs, x, h, z, nodes_ccw)
 
 
 def _fused_vjp_bwd(
-    tile_r, node_chunk, interpret, neg_slope, dw_mode, pack2, res, g
+    tile_r, node_chunk, interpret, neg_slope, dw_mode, pack, res, g
 ):
     ws, bs, x, h, z, nodes_ccw = res
     nodes, ccw = nodes_ccw
-    if pack2:
+    if pack == 4:
+        return _fused_vjp_bwd_pn(
+            tile_r, node_chunk, interpret, neg_slope, res, g
+        )
+    if pack == 2:
         return _fused_vjp_bwd_p2(
             tile_r, node_chunk, interpret, neg_slope, res, g
         )
@@ -880,6 +1239,51 @@ def _fused_vjp_bwd_p2(tile_r, node_chunk, interpret, neg_slope, res, g):
     )
 
 
+def _fused_vjp_bwd_pn(tile_r, node_chunk, interpret, neg_slope, res, g):
+    ws, bs, x, h, z, nodes_ccw = res
+    nodes, ccw = nodes_ccw
+    feat, batch_shape, R, e, stride = _prep_pn(x, h)
+    pw, pb = _pad_params(*_packn_params(ws, bs))
+    nodes_p, ccw_p, _ = _packn_nodes(nodes, ccw, node_chunk)
+    R_pad = _round_up(max(R, tile_r), tile_r)
+    g_flat = g.reshape(R, 1).astype(jnp.float32)
+    if R_pad != R:
+        feat = jnp.pad(feat, ((0, R_pad - R), (0, 0)))
+        g_flat = jnp.pad(g_flat, ((0, R_pad - R), (0, 0)))
+    dfeat, dpw, dpb, s_sum = _run_bwd_pn(
+        pw, pb, feat, g_flat, nodes_p, ccw_p, tile_r, node_chunk, interpret,
+        neg_slope, stride,
+    )
+    dfeat = dfeat[:R]
+    prod_term = g * s_sum[:R, 0].reshape(batch_shape) * 0.5
+    dx = dfeat[:, 0].reshape(batch_shape) + prod_term
+    # h gradient arrives in all PN packed slots — fold them
+    dh_acc = dfeat[:, 1:stride]
+    for j in range(1, PN):
+        dh_acc = dh_acc + dfeat[:, j * stride + 1 : (j + 1) * stride]
+    dh = dh_acc.reshape(*batch_shape, e).astype(h.dtype)
+    dws, dbs = [], []
+    n = len(ws)
+    for idx, (w, b) in enumerate(zip(ws, bs)):
+        i, o = w.shape
+        if idx == n - 1:
+            dun = dpw[idx].T  # output dW stored transposed (rows 0..PN-1)
+            dw = sum(dun[j * i : (j + 1) * i, j : j + 1] for j in range(PN))
+            db = sum(dpb[idx][0, j : j + 1] for j in range(PN))
+        else:
+            dw = sum(
+                dpw[idx][j * i : (j + 1) * i, j * o : (j + 1) * o]
+                for j in range(PN)
+            )
+            db = sum(dpb[idx][0, j * o : (j + 1) * o] for j in range(PN))
+        dws.append(dw.astype(w.dtype))
+        dbs.append(db.astype(b.dtype))
+    return (
+        dws, dbs, dx.astype(x.dtype), dh,
+        (jnp.zeros_like(nodes_ccw[0]), jnp.zeros_like(nodes_ccw[1])),
+    )
+
+
 _fused_integral.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
@@ -897,6 +1301,7 @@ def fused_cc_integral(
     neg_slope: float = 0.01,
     dw_mode: str = "per_layer",
     pack2: bool | None = None,
+    pack4: bool | None = None,
 ) -> jax.Array:
     """``∫_0^{x} f(t, h) dt`` for the UMNN integrand MLP, fused on-TPU.
 
@@ -910,7 +1315,10 @@ def fused_cc_integral(
     into each matmul's M dimension (VMEM per activation buffer is
     ``tile_r * node_chunk * 128 * 4`` bytes); ``pack2`` packs two nodes per
     matmul row via block-diagonal weights when every layer fits 64 lanes
-    (auto-enabled — measured 0.834 -> 0.607 ms per UCI-config train step).
+    (auto-enabled — measured 0.834 -> 0.607 ms per UCI-config train step);
+    ``pack4`` packs FOUR nodes per row for <=32-lane integrands
+    (toy/monotonic shapes; auto-enabled when applicable, wins priority over
+    pack2 — A/B via scripts/pack4_ab.py).
     """
     if len(ws) < 2:
         # the kernels assume >= 1 hidden layer (separate first/output
@@ -923,10 +1331,15 @@ def fused_cc_integral(
         interpret = not pallas_available()
     nodes = nodes.reshape(-1, 1).astype(jnp.float32)
     ccw = ccw.reshape(-1, 1).astype(jnp.float32)
+    if pack4 is None:
+        # auto: pack 4 nodes per row whenever every layer's block fits in a
+        # quarter of the 128 lanes (not with the batched-dW research variant)
+        pack4 = dw_mode != "batched" and _pack4_applicable(ws)
     if pack2 is None:
         # auto: pack 2 nodes per row whenever every layer's block fits in
         # half the 128 lanes (not with the batched-dW research variant)
         pack2 = dw_mode != "batched" and _pack2_applicable(ws)
+    pack = 4 if pack4 else (2 if pack2 else 1)
     if node_chunk is None:
         # Default: fold ALL nodes into one chunk when the activation
         # working set fits VMEM — zero padding nodes and no chunk loop.
@@ -935,11 +1348,10 @@ def fused_cc_integral(
         # step, scripts/ab_kernel_bench.py.) Rough working set: one
         # [K*tile_r, 128] f32 buffer per layer plus ~3 temporaries.
         K = nodes.shape[0]
-        if pack2:
-            K = (K + 1) // 2  # node axis counts PAIRS
+        K = (K + pack - 1) // pack  # node axis counts packed GROUPS
         est = K * tile_r * LANE * 4 * (len(ws) + 3)
         node_chunk = K if est <= 80 * 1024 * 1024 else 16
     return _fused_integral(
         list(ws), list(bs), x, h, (nodes, ccw), tile_r, node_chunk, interpret,
-        neg_slope, dw_mode, pack2,
+        neg_slope, dw_mode, pack,
     )

@@ -1,14 +1,24 @@
 """Benchmark: quadrature-point integrand-MLP evals/s/chip (BASELINE.json metric).
 
 Measures the hot loop of UMNN training — the fused Clenshaw-Curtis integrand
-sweep at the UCI parity config (hidden_derivative [50,50,50,50], embedding 30,
-50 CC steps, batch 500, D=6; reference `UCIExperiments.py:196-217`) — as full
-forward+backward training-step evals/s on one chip, taking the best of the
-XLA-megabatch and fused-Pallas backends.
+sweep — as full forward+backward training-step evals/s on one chip, at BOTH
+parity configs:
+
+* ``uci``:   B=500, D=6,  hidden_derivative [50,50,50,50], embedding 30,
+  50 CC steps (reference `UCIExperiments.py:196-217`);
+* ``mnist``: B=100, D=784, hidden_derivative [100,50,50,50,50],
+  hidden_embedding [1024,1024,1024] (reference `MNISTExperiment.py:237-250`).
 
 "Evals" counts integrand-MLP evaluations: B * (N+1) * D per forward sweep;
 a training step costs 1 fwd sweep + 1 bwd sweep + endpoint/log-jac evals
 (SURVEY.md §3.1 cost model), counted explicitly below.
+
+Variance protocol (the chip is time-shared; throughput drifts 2-3x between
+runs): the two backends are INTERLEAVED inside one process across several
+spaced windows, per-window times are emitted in the artifact, and the
+backend comparison is min-vs-min plus an XLA-anchored ratio per config
+(pallas_min / xla_min) — the ratio cancels most of the drift because both
+legs of each window share the chip's load state.
 
 ``vs_baseline`` is the ratio to the PyTorch reference's own hot path
 (ParallelNeuralIntegral semantics re-implemented in torch from the published
@@ -20,7 +30,7 @@ tunnel, so each measurement enqueues ``iters`` executions and drains the
 in-order device queue with one scalar readback; the single-call+readback RTT
 (~29 ms on this tunnel) is measured separately and subtracted.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "configs"}.
 """
 
 import json
@@ -34,69 +44,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B, D, E, N = 500, 6, 30, 50
-HIDDEN_EMB = (512, 512)
-HIDDEN_DER = (50, 50, 50, 50)
-
-
-def _timed(fn, args, iters, scalarize, rounds=5):
-    """Per-call seconds over ``rounds`` windows: enqueue ``iters`` calls,
-    drain with one readback. Returns (min, median) across rounds — the chip
-    is time-shared and run-to-run throughput drifts 2-3x, so the min is the
-    capability number and the median the expectation."""
-    out = fn(*args)
-    _ = float(scalarize(out))
-    floor = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _ = float(scalarize(out))
-        floor = min(floor, time.perf_counter() - t0)  # 1 call + readback RTT
-    times = []
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        _ = float(scalarize(out))
-        times.append((time.perf_counter() - t0 - floor) / (iters - 1))
-    return min(times), float(np.median(times))
-
-
-def bench_jax():
-    from umnn_tpu.models.umnn_maf import UMNNMAF
-
-    cfg = dict(
-        input_size=D,
-        embedding_s=E,
-        hidden_embedding=HIDDEN_EMB,
-        hidden_derivative=HIDDEN_DER,
-        nb_steps=N,
-    )
-    x = jax.random.normal(jax.random.PRNGKey(1), (B, D))
-
-    results = {}
-    for backend in ("pallas", "xla"):
-        if backend == "pallas" and jax.default_backend() != "tpu":
-            continue
-        model = UMNNMAF(backend=backend, **cfg)
-        params = model.init(jax.random.PRNGKey(0))
-
-        def loss(params, x, model=model):
-            ll, _ = model.compute_ll(params, x)
-            return -jnp.mean(ll)
-
-        step = jax.jit(jax.value_and_grad(loss))
-        for attempt in range(3):  # remote-compile helper is flaky
-            try:
-                results[backend] = _timed(
-                    step, (params, x), iters=600, scalarize=lambda o: o[0]
-                )
-                break
-            except Exception as e:  # noqa: BLE001
-                if attempt == 2:
-                    print(f"backend {backend} failed: {e}", file=sys.stderr)
-    return results
-
+CONFIGS = {
+    "uci": dict(
+        B=500, D=6, E=30, N=50,
+        hidden_der=(50, 50, 50, 50), hidden_emb=(512, 512),
+        iters=600,
+    ),
+    "mnist": dict(
+        B=100, D=784, E=30, N=50,
+        hidden_der=(100, 50, 50, 50, 50), hidden_emb=(1024, 1024, 1024),
+        iters=30,
+    ),
+}
+WINDOWS = 4  # spaced measurement windows per (config, backend)
+WINDOW_GAP_S = 2.0
 
 # chip nominal peak (TPU v5e: ~197 TFLOP/s bf16 MXU; f32 matmuls measured
 # sustaining ~172 TF/s on this chip — see CLAUDE.md). MFU uses the nominal
@@ -104,31 +65,104 @@ def bench_jax():
 PEAK_TFLOPS = 197.0
 
 
-def useful_flops_per_step():
-    """Useful training FLOPs per step at the parity config (SURVEY §7.10).
+def _drain_time(fn, args, iters, scalarize, floor):
+    """One window: enqueue ``iters`` calls, drain with one readback."""
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    _ = float(scalarize(out))
+    return (time.perf_counter() - t0 - floor) / (iters - 1)
 
-    Counted on UNPADDED shapes (padding is overhead, not useful work):
-    * integrand MLP row: 2 * sum(din*dout) over [1+E, *HIDDEN_DER, 1];
-      rows per sweep = B*(N+1)*D.
-      Train step sweeps: forward (1x), backward recompute (1x), backward
-      VJP dW+dx chain (~2x), log-jac endpoint (B*D rows) and the two
-      Leibniz endpoint evals (2*B*D rows).
-    * MADE conditioner [D, *HIDDEN_EMB, D*(E+1)]: forward + ~2x backward.
+
+def _call_floor(fn, args, scalarize):
+    """Single-call+readback RTT (min of 3): subtracted from every window."""
+    floor = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(scalarize(fn(*args)))
+        floor = min(floor, time.perf_counter() - t0)
+    return floor
+
+
+def bench_config(name, cfg):
+    """Interleaved pallas/XLA windows for one parity config."""
+    from umnn_tpu.models.umnn_maf import UMNNMAF
+
+    B, D, E, N = cfg["B"], cfg["D"], cfg["E"], cfg["N"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, D))
+    backends = ["xla"]
+    if jax.default_backend() == "tpu":
+        backends.append("pallas")
+
+    steps = {}
+    for backend in backends:
+        model = UMNNMAF(
+            input_size=D, embedding_s=E,
+            hidden_embedding=cfg["hidden_emb"],
+            hidden_derivative=cfg["hidden_der"],
+            nb_steps=N, backend=backend,
+        )
+        params = model.init(jax.random.PRNGKey(0))
+
+        def loss(params, x, model=model):
+            ll, _ = model.compute_ll(params, x)
+            return -jnp.mean(ll)
+
+        steps[backend] = (jax.jit(jax.value_and_grad(loss)), params)
+
+    scalarize = lambda o: o[0]  # noqa: E731
+    windows = {b: [] for b in backends}
+    floors = {}
+    for backend in backends:  # warm + compile (retried: flaky remote compile)
+        fn, params = steps[backend]
+        for attempt in range(3):
+            try:
+                _ = float(scalarize(fn(params, x)))
+                floors[backend] = _call_floor(fn, (params, x), scalarize)
+                break
+            except Exception as e:  # noqa: BLE001
+                if attempt == 2:
+                    print(f"{name}/{backend} failed: {e}", file=sys.stderr)
+                    backends.remove(backend)
+    for w in range(WINDOWS):
+        for backend in backends:  # interleave: both legs share chip state
+            fn, params = steps[backend]
+            windows[backend].append(
+                _drain_time(fn, (params, x), cfg["iters"], scalarize, floors[backend])
+            )
+        if w < WINDOWS - 1:
+            time.sleep(WINDOW_GAP_S)
+    return {
+        b: {"min": min(ts), "median": float(np.median(ts)), "windows": ts}
+        for b, ts in windows.items()
+        if ts
+    }
+
+
+def useful_flops_per_step(cfg):
+    """Useful training FLOPs per step (SURVEY §7.10), UNPADDED shapes
+    (padding is overhead, not useful work):
+    * integrand MLP row: 2 * sum(din*dout) over [1+E, *hidden_der, 1];
+      rows per sweep = B*(N+1)*D. Train step sweeps: forward (1x), backward
+      recompute (1x), backward VJP dW+dx chain (~2x), log-jac endpoint
+      (B*D rows) and the two Leibniz endpoint evals (2*B*D rows).
+    * MADE conditioner [D, *hidden_emb, D*(E+1)]: forward + ~2x backward.
     """
+    B, D, E, N = cfg["B"], cfg["D"], cfg["E"], cfg["N"]
     f_row = 2 * sum(
-        a * b
-        for a, b in zip([1 + E, *HIDDEN_DER], [*HIDDEN_DER, 1])
+        a * b for a, b in zip([1 + E, *cfg["hidden_der"]], [*cfg["hidden_der"], 1])
     )
     sweep_rows = B * (N + 1) * D
     endpoint_rows = 3 * B * D
     integrand = f_row * (4 * sweep_rows + endpoint_rows)
-    made_sizes = [D, *HIDDEN_EMB, D * (E + 1)]
+    made_sizes = [D, *cfg["hidden_emb"], D * (E + 1)]
     f_made = 2 * sum(a * b for a, b in zip(made_sizes[:-1], made_sizes[1:]))
     made = 3 * f_made * B
     return integrand + made
 
 
-def bench_torch_reference():
+def bench_torch_reference(cfg, rounds=4):
     """The reference's hot path (CCParallel + Leibniz backward) in torch on CPU.
 
     Re-derived from the published math (Wehenkel & Louppe 2019, §3; reference
@@ -142,11 +176,12 @@ def bench_torch_reference():
 
     from umnn_tpu.ops.quadrature import cc_quadrature
 
+    B, D, E, N = cfg["B"], cfg["D"], cfg["E"], cfg["N"]
     t_nodes, w = cc_quadrature(N)
     nodes_t = torch.tensor(t_nodes, dtype=torch.float32)
     ccw_t = torch.tensor(w, dtype=torch.float32)
 
-    sizes = [1 + E, *HIDDEN_DER, 1]
+    sizes = [1 + E, *cfg["hidden_der"], 1]
     mods = []
     for a, b in zip(sizes[:-1], sizes[1:]):
         mods.append(torch.nn.Linear(a, b))
@@ -182,7 +217,7 @@ def bench_torch_reference():
 
     step()  # warm
     best = 1e9
-    for _ in range(4):  # min-of-N: the 1-core host is noisy
+    for _ in range(rounds):  # min-of-N: the 1-core host is noisy
         t0 = time.perf_counter()
         step()
         best = min(best, time.perf_counter() - t0)
@@ -190,37 +225,62 @@ def bench_torch_reference():
 
 
 def main():
-    results = bench_jax()
-    if not results:
-        print("bench: all backends failed; see stderr", file=sys.stderr)
+    configs_out = {}
+    for name, cfg in CONFIGS.items():
+        results = bench_config(name, cfg)
+        if not results:
+            continue
+        B, D, N = cfg["B"], cfg["D"], cfg["N"]
+        best = min(r["min"] for r in results.values())
+        torch_dt = bench_torch_reference(cfg)
+        evals_per_step = B * D * (2 * (N + 1) + 1)
+        torch_evals_per_step = B * D * 2 * (N + 1)
+        flops_step = useful_flops_per_step(cfg)
+        tflops_eff = flops_step / best / 1e12
+        entry = {
+            "evals_per_s": round(evals_per_step / best, 1),
+            "vs_torch_cpu": round(
+                (evals_per_step / best) / (torch_evals_per_step / torch_dt), 3
+            ),
+            "tflops_effective": round(tflops_eff, 3),
+            "mfu": round(tflops_eff / PEAK_TFLOPS, 4),
+            "useful_flops_per_step": flops_step,
+            "backends_ms": {
+                b: {
+                    "min": round(r["min"] * 1e3, 3),
+                    "median": round(r["median"] * 1e3, 3),
+                    "windows": [round(t * 1e3, 3) for t in r["windows"]],
+                }
+                for b, r in results.items()
+            },
+        }
+        if "pallas" in results and "xla" in results:
+            # drift-cancelling comparison: both legs of each window share
+            # the chip's load state (< 1 = pallas faster)
+            entry["pallas_over_xla_min"] = round(
+                results["pallas"]["min"] / results["xla"]["min"], 3
+            )
+            entry["pallas_over_xla_per_window"] = [
+                round(p / x, 3)
+                for p, x in zip(
+                    results["pallas"]["windows"], results["xla"]["windows"]
+                )
+            ]
+        configs_out[name] = entry
+
+    if not configs_out:
+        print("bench: all configs failed; see stderr", file=sys.stderr)
         return 1
-    best = min(t_min for t_min, _ in results.values())
-    torch_dt = bench_torch_reference()
-
-    # evals per train step: fwd sweep (N+1) + bwd sweep (N+1) + log-jac
-    # endpoint eval (1), per (B, D) row  — SURVEY.md §3.1 cost model.
-    evals_per_step = B * D * (2 * (N + 1) + 1)
-    # torch baseline step above runs fwd + bwd sweeps (no log-jac endpoint)
-    torch_evals_per_step = B * D * 2 * (N + 1)
-    value = evals_per_step / best
-    baseline = torch_evals_per_step / torch_dt
-
-    # honest absolute story: useful-FLOPs roofline (SURVEY §7 step 10)
-    flops_step = useful_flops_per_step()
-    tflops_eff = flops_step / best / 1e12
+    head = configs_out.get("uci") or next(iter(configs_out.values()))
     out = {
         "metric": "quadrature-point integrand-MLP evals/s/chip (UCI parity config, fwd+bwd train step)",
-        "value": round(value, 1),
+        "value": head["evals_per_s"],
         "unit": "evals/s",
-        "vs_baseline": round(value / baseline, 3),
-        "tflops_effective": round(tflops_eff, 3),
-        "mfu": round(tflops_eff / PEAK_TFLOPS, 4),
+        "vs_baseline": head["vs_torch_cpu"],
+        "tflops_effective": head["tflops_effective"],
+        "mfu": head["mfu"],
         "peak_tflops_assumed": PEAK_TFLOPS,
-        "useful_flops_per_step": flops_step,
-        "backends_ms": {
-            k: {"min": round(t_min * 1e3, 3), "median": round(t_med * 1e3, 3)}
-            for k, (t_min, t_med) in results.items()
-        },
+        "configs": configs_out,
     }
     print(json.dumps(out))
 

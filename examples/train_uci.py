@@ -203,23 +203,28 @@ def main():
     if args.test:
         # evaluation-only mode: the reference loads model_best_train.pt and
         # reports test NLL, forcing 100 steps in randomized mode
-        # (`UCIExperiments.py:93-122`); eval_steps already carries that rule
-        loaded = ckpt.load_best("train", params)
-        tag = "train"
-        if loaded is None:  # fall back like-for-like if only valid exists
-            loaded, tag = ckpt.load_best("valid", params), "valid"
-        if loaded is None:
+        # (`UCIExperiments.py:93-122`); eval_steps already carries that rule.
+        # All saved best-tags are reported (primary = best-train, reference
+        # semantics); no training happens.
+        results = {}
+        for tag in ("train", "valid", "train_valid"):
+            loaded = ckpt.load_best(tag, params)
+            if loaded is None:
+                continue
+            params = loaded
+            results[tag] = eval_split(data.tst)
+            logger.info(
+                "TEST-ONLY (best-%s params, %d steps): test NLL %.4f over %d rows",
+                tag, eval_steps, results[tag], len(data.tst),
+            )
+        if not results:
             logger.info("-test: no best checkpoint found under %s", ckpt.directory)
             return 1
-        params = loaded
-        test_nll = eval_split(data.tst)
-        logger.info(
-            "TEST-ONLY (best-%s params, %d steps): test NLL %.4f over %d rows",
-            tag, eval_steps, test_nll, len(data.tst),
-        )
+        primary = "train" if "train" in results else next(iter(results))
         print(json.dumps({
-            "dataset": data.name, "mode": "test_only", "ckpt": tag,
-            "eval_steps": eval_steps, "test_nll": test_nll,
+            "dataset": data.name, "mode": "test_only", "ckpt": primary,
+            "eval_steps": eval_steps, "test_nll": results[primary],
+            "test_nll_by_ckpt": results,
         }))
         return 0
 

@@ -88,6 +88,12 @@ def main():
              "learn inter-pixel structure to beat 8.0 bpp)",
     )
     p.add_argument("-ar1_rho", type=float, default=0.7)
+    p.add_argument(
+        "-load", action="store_true",
+        help="resume params+optimizer from the folder's latest checkpoint "
+             "(`MNISTExperiment.py:55-57` load path, plus optimizer state as "
+             "in the toy driver)",
+    )
     args = p.parse_args()
 
     folder = Path(args.folder)
@@ -173,6 +179,16 @@ def main():
     best = BestTracker(ckpt)
     rng = np.random.RandomState(args.seed + 1)
 
+    start_epoch = 0
+    if args.load:
+        restored = ckpt.restore(
+            template={"params": params, "opt_state": opt_state}
+        )
+        if restored is not None:
+            start_epoch, params, opt_state = restored
+            start_epoch += 1
+            logger.info("resumed from epoch %d", start_epoch - 1)
+
     def eval_split(x, y):
         tot, n_tot = [], 0
         for (xb, nv), yb in zip(
@@ -185,7 +201,7 @@ def main():
         return float(jnp.stack(tot).sum()) / max(n_tot, 1)
 
     lip_key = jax.random.PRNGKey(args.seed + 97)
-    for epoch in range(args.nb_epoch):
+    for epoch in range(start_epoch, args.nb_epoch):
         t0 = time.time()
         perm = rng.permutation(len(data.trn_x))
         losses = []

@@ -100,7 +100,10 @@ def main():
     folder.mkdir(parents=True, exist_ok=True)
     logger = get_logger("uci", folder / "train.log", source_file=__file__)
     metrics = MetricsWriter(folder / "metrics.jsonl")
-    (folder / "args.json").write_text(json.dumps(vars(args)))
+    # -test (eval-only) re-runs must not clobber the original training config
+    (folder / ("args_eval.json" if args.test else "args.json")).write_text(
+        json.dumps(vars(args))
+    )
 
     synth_rows = None
     if args.synthetic_rows == -1:

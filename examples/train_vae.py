@@ -96,7 +96,9 @@ def main():
     folder.mkdir(parents=True, exist_ok=True)
     logger = get_logger("vae", folder / "train.log")
     metrics = MetricsWriter(folder / "metrics.jsonl")
-    (folder / "args.json").write_text(json.dumps(vars(args)))
+    # eval-only re-runs must not clobber the original training config
+    args_name = "args_eval.json" if args.eval_only else "args.json"
+    (folder / args_name).write_text(json.dumps(vars(args)))
 
     data = load_vae_dataset(args.dataset, synthetic=True if args.synthetic else None)
     c, hh, ww = data.input_size
@@ -291,10 +293,11 @@ def main():
                     vb = np.concatenate([vb, vb[: args.b_size - len(vb)]])
                 key, k1, k2 = jax.random.split(key, 3)
                 if epoch == 0:
-                    image_grid(
-                        to_pixels(vb.reshape(-1, c, hh, ww))[:9],
-                        rdir / "real.png", ncols=3,
-                    )
+                    # raw data is already pixel-valued — must not route
+                    # through to_pixels' multinomial 256-logit argmax branch
+                    real = vb.reshape(-1, c, hh, ww)
+                    real = real[:, 0] if c == 1 else np.moveaxis(real, 1, -1)
+                    image_grid(real[:9], rdir / "real.png", ncols=3)
                 xm = recon_step(params, jnp.asarray(vb), k1)
                 image_grid(
                     to_pixels(xm)[:9],

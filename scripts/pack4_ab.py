@@ -6,8 +6,16 @@ B=256, D=2, e=8, hidden_derivative (32, 32), N=16 — the <=32-lane regime
 pack4 targets (VERDICT r2 next-step #6). A second, heavier variant at
 B=2048 stresses the MXU-bound regime where packing should matter most.
 
-Result (2026-08-17, v5e via axon, min over 6 interleaved rounds, iters=300):
-see PARITY_RUNS.md / CLAUDE.md for the recorded numbers.
+Result (2026-08-17, v5e via axon, min over interleaved rounds, shared-chip
+window): toy_B256 — xla 0.307 ms, pallas_nopack 0.356, pallas_pack2 0.446,
+pallas_pack4 0.319; toy_B2048 — xla 0.358, nopack 0.415, pack2 0.414,
+pack4 0.432. Conclusion: pack4 is the best PALLAS variant at the small-batch
+toy shape (−10% vs nopack, −28% vs pack2, whose 64-lane packing pads badly
+at width 32), but XLA still edges every kernel variant at these tiny
+dispatch-bound shapes and all arms tie within device drift at B2048 — the
+width-aware auto crossover correctly keeps toy/monotonic configs on XLA, so
+pack4 stays a correctness-pinned, auto-disabled specialization (negative
+result recorded per the repo's A/B discipline).
 """
 import json
 import sys

@@ -89,6 +89,12 @@ def main():
     )
     p.add_argument("-ar1_rho", type=float, default=0.7)
     p.add_argument(
+        "-ar1_rows", type=int, default=20000,
+        help="AR(1) gate train rows (valid/test fixed at 2000/5000): the "
+             "135M-param parity model memorizes 20k rows once it has the "
+             "marginals — gate runs need real-data-order row counts",
+    )
+    p.add_argument(
         "-load", action="store_true",
         help="resume params+optimizer from the folder's latest checkpoint "
              "(`MNISTExperiment.py:55-57` load path, plus optimizer state as "
@@ -106,10 +112,12 @@ def main():
     if args.synthetic and args.synthetic_mode == "ar1":
         from umnn_tpu.data.images import synthetic_mnist_ar1
 
-        data, floor_bpp = synthetic_mnist_ar1(rho=args.ar1_rho, seed=args.seed)
+        data, floor_bpp = synthetic_mnist_ar1(
+            rho=args.ar1_rho, seed=args.seed, n=(args.ar1_rows, 2000, 5000)
+        )
         logger.info(
-            "AR(1) copula gate: rho=%.2f  exact test-floor %.4f bpp "
-            "(independence scores 8.0)", args.ar1_rho, floor_bpp,
+            "AR(1) copula gate: rho=%.2f  rows=%d  exact test-floor %.4f bpp "
+            "(independence scores 8.0)", args.ar1_rho, args.ar1_rows, floor_bpp,
         )
     else:
         data = load_mnist_flow(synthetic=True if args.synthetic else None)

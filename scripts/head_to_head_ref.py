@@ -1,0 +1,180 @@
+"""Head-to-head convergence parity: the REFERENCE torch implementation vs
+this framework, on byte-identical data.
+
+The real UCI files are unavailable (zero egress), so absolute-NLL parity
+with BASELINE.md cannot be measured directly. What CAN be measured is
+implementation parity: train the reference's own torch model
+(`/root/reference/models/UMNN`, imported at runtime — nothing is copied)
+on the exact synthetic split our drivers train on, with the reference's
+hyperparameters and loop semantics (`UCIExperiments.py:125-192`: Adam+wd,
+clip_grad_value_ 1.0, ReduceLROnPlateau(0.5, patience=5, threshold=1e-2),
+shuffled batches, per-epoch valid eval), and compare per-epoch NLL
+trajectories with our runs on the same draw. Matching curves pin any
+residual floor-gap (e.g. miniboone's) on the shared model family, not on
+this implementation.
+
+The committed reference driver itself cannot run verbatim — it calls
+`model.computell` and `model.forcei_lpschitz` (typos for `compute_ll` /
+`force_lipschitz`, `UCIExperiments.py:165,146`) and imports tensorboardX —
+so this harness re-states its ~40-line loop against the real model API.
+
+Usage:
+    python scripts/head_to_head_ref.py -data power -nb_epoch 40
+    python scripts/head_to_head_ref.py -data miniboone -synthetic_rows -1
+
+Writes `<folder>/<data>/metrics.jsonl` (train_nll/valid_nll per epoch) and
+a final test-NLL line, directly comparable with `examples/train_uci.py`
+output on the same -data/-synthetic_rows/-seed.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from umnn_tpu.data.uci import SYNTH_REAL_ROWS, UCI_DIMS, load_uci, synthetic_floor
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-data", default="power", choices=sorted(UCI_DIMS))
+    p.add_argument("-nb_epoch", type=int, default=40)
+    p.add_argument("-nb_flow", type=int, default=5)
+    p.add_argument("-nb_steps", type=int, default=50)
+    p.add_argument("-embedding_s", type=int, default=30)
+    p.add_argument("-hidden_embedding", type=int, nargs="+", default=[512, 512])
+    p.add_argument("-hidden_derivative", type=int, nargs="+", default=[50, 50, 50, 50])
+    p.add_argument("-b_size", type=int, default=500)
+    p.add_argument("-lr", type=float, default=1e-3)
+    p.add_argument("-wd", type=float, default=1e-2)
+    p.add_argument("-s_rate", type=float, default=0.5)
+    p.add_argument("-s_patience", type=int, default=5)
+    p.add_argument("-seed", type=int, default=0)
+    p.add_argument("-synthetic_rows", type=int, default=0,
+                   help="0 = 20000 default; -1 = real dataset scale")
+    p.add_argument("-folder", default="runs/head_to_head")
+    p.add_argument("-reference_root", default="/root/reference")
+    p.add_argument("-max_epoch_seconds", type=float, default=0,
+                   help="stop after the epoch that crosses this wall-clock "
+                        "budget (0 = run all nb_epoch); CPU torch is slow")
+    args = p.parse_args()
+
+    folder = Path(args.folder) / args.data
+    folder.mkdir(parents=True, exist_ok=True)
+    (folder / "args.json").write_text(json.dumps(vars(args)))
+    log_path = folder / "train.log"
+
+    def log(msg):
+        line = f"{time.strftime('%H:%M:%S')} {msg}"
+        print(line, flush=True)
+        with open(log_path, "a") as f:
+            f.write(line + "\n")
+
+    rows = None
+    if args.synthetic_rows == -1:
+        rows = SYNTH_REAL_ROWS[args.data]
+    elif args.synthetic_rows > 0:
+        rows = args.synthetic_rows
+    data = load_uci(args.data, synthetic=True, synthetic_rows=rows)
+    floor = synthetic_floor(args.data, seed=0, n_rows=rows)
+    log(f"dataset synthetic-{args.data}: dims={data.n_dims} "
+        f"train={len(data.trn)} valid={len(data.val)} test={len(data.tst)} "
+        f"exact floor {floor:.4f}")
+
+    # --- the reference implementation, imported in place -------------------
+    sys.path.insert(0, args.reference_root)
+    import torch
+
+    torch.set_num_threads(1)  # 1-core host
+    torch.manual_seed(args.seed)
+    from models import UMNNMAFFlow  # /root/reference/models/__init__.py
+
+    model = UMNNMAFFlow(
+        nb_flow=args.nb_flow,
+        nb_in=data.n_dims,
+        hidden_derivative=list(args.hidden_derivative),
+        hidden_embedding=list(args.hidden_embedding),
+        embedding_s=args.embedding_s,
+        nb_steps=args.nb_steps,
+        solver="CCParallel",
+        device="cpu",
+    )
+    n_params = sum(p_.numel() for p_ in model.parameters())
+    log(f"reference torch model: {n_params} params, solver CCParallel, cpu")
+
+    opt = torch.optim.Adam(model.parameters(), args.lr, weight_decay=args.wd)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, factor=args.s_rate, patience=args.s_patience, threshold=1e-2
+    )
+
+    trn = torch.from_numpy(np.asarray(data.trn))
+    val = torch.from_numpy(np.asarray(data.val))
+    tst = torch.from_numpy(np.asarray(data.tst))
+
+    def batches(x, shuffle=True):
+        idx = torch.randperm(x.shape[0]) if shuffle else torch.arange(x.shape[0])
+        for sel in idx.split(args.b_size):
+            yield x[sel]
+
+    def eval_nll(x):
+        model.eval()
+        tot, n = 0.0, 0
+        with torch.no_grad():
+            for b in batches(x, shuffle=False):
+                ll, _ = model.compute_ll(b)
+                tot += float(-ll.sum())
+                n += b.shape[0]
+        return tot / n
+
+    best_valid, best_state = float("inf"), None
+    t_start = time.time()
+    with open(folder / "metrics.jsonl", "a") as mf:
+        for epoch in range(args.nb_epoch):
+            t0 = time.time()
+            model.train()
+            ll_tot, i = 0.0, 0
+            for b in batches(trn):
+                opt.zero_grad()
+                ll, _ = model.compute_ll(b)
+                loss = -ll.mean()
+                loss.backward()
+                torch.nn.utils.clip_grad.clip_grad_value_(model.parameters(), 1.0)
+                opt.step()
+                ll_tot += float(loss.detach())
+                i += 1
+            train_nll = ll_tot / i
+            valid_nll = eval_nll(val)
+            sched.step(valid_nll)
+            lr = opt.param_groups[0]["lr"]
+            if valid_nll < best_valid:
+                best_valid = valid_nll
+                best_state = {k: v.clone() for k, v in model.state_dict().items()}
+            for k, v in (("train_nll", train_nll), ("valid_nll", valid_nll)):
+                mf.write(json.dumps({"step": epoch, k: v}) + "\n")
+            mf.flush()
+            log(f"epoch {epoch:3d}  train NLL {train_nll:.4f}  "
+                f"valid NLL {valid_nll:.4f}  lr {lr:g}  ({time.time()-t0:.1f}s)")
+            if args.max_epoch_seconds and time.time() - t_start > args.max_epoch_seconds:
+                log(f"wall-clock budget reached after epoch {epoch}")
+                break
+
+    if best_state is not None:
+        model.load_state_dict(best_state)
+    test_nll = eval_nll(tst)
+    log(f"FINAL test NLL (best-valid params): {test_nll:.4f}  "
+        f"floor {floor:.4f}  gap {test_nll - floor:.4f}")
+    print(json.dumps({
+        "impl": "reference-torch-cpu", "dataset": f"synthetic-{args.data}",
+        "rows": rows or 20000, "test_nll": test_nll, "floor": floor,
+        "gap": test_nll - floor,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -114,6 +114,43 @@ def test_post_update_runs_every_step():
         assert float(jnp.max(jnp.abs(params["w"]))) <= 0.5 + 1e-6
 
 
+def test_nonfinite_batch_skips_update():
+    """A batch producing NaN/inf loss or grads must leave params AND
+    optimizer moments untouched (the value-clip passes NaN through, so an
+    unguarded step corrupts the whole rest of the run — seen on a bsds300
+    run at epoch 35/120). Finite batches around it must still train."""
+    opt = make_optimizer("adam", lr=0.1)
+
+    def loss_fn(p, b):
+        return jnp.sum(p["w"] * b)
+
+    step = make_train_step(loss_fn, opt)
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    state = opt.init(params)
+
+    params1, state1, loss1 = step(params, state, jnp.asarray([1.0, 1.0]))
+    assert np.isfinite(float(loss1))
+    # numpy snapshots BEFORE the next call: the step donates params/state
+    w1 = np.asarray(params1["w"]).copy()
+    moments1 = [np.asarray(a).copy() for a in jax.tree_util.tree_leaves(state1)]
+
+    # poisoned batch: NaN loss + NaN grads
+    params2, state2, loss2 = step(
+        params1, state1, jnp.asarray([np.nan, 1.0])
+    )
+    assert not np.isfinite(float(loss2))  # still reported to the log
+    w2 = np.asarray(params2["w"]).copy()
+    np.testing.assert_array_equal(w2, w1)
+    for a, b in zip(jax.tree_util.tree_leaves(state2), moments1):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    # training resumes normally on the next finite batch
+    params3, _, loss3 = step(params2, state2, jnp.asarray([1.0, 1.0]))
+    assert np.isfinite(float(loss3))
+    assert np.isfinite(np.asarray(params3["w"])).all()
+    assert not np.array_equal(np.asarray(params3["w"]), w2)
+
+
 def test_retry_transient_behavior():
     """Transient remote-compile failures retry with backoff; real errors and
     exhausted retries re-raise."""

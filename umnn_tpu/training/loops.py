@@ -152,11 +152,27 @@ def make_train_step(
         out, grads = jax.value_and_grad(loss_fn, has_aux=has_aux)(
             params, batch, *extras
         )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        loss, aux = out if has_aux else (out, None)
+        # Non-finite guard: one diverged batch (inf/nan loss or grads — e.g.
+        # an extreme tail sample overflowing the embedding net) must not
+        # corrupt params/Adam moments for the rest of a multi-hour run; the
+        # value-clip passes NaN through unchanged. Skip the update entirely
+        # when anything is non-finite; the NaN loss still surfaces in the
+        # epoch log so skipped batches stay visible. (A bsds300 run died
+        # this way at epoch 35 of 120 — every later epoch was NaN.)
+        ok = jnp.isfinite(loss)
+        for g in jax.tree_util.tree_leaves(grads):
+            ok = ok & jnp.all(jnp.isfinite(g))
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        params = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_params, params
+        )
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state
+        )
         if post_update is not None:
             params = post_update(params, *extras)
-        loss, aux = out if has_aux else (out, None)
         if has_aux:
             return params, opt_state, loss, aux
         return params, opt_state, loss

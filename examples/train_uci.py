@@ -184,66 +184,14 @@ def main():
     rng = np.random.RandomState(args.seed + 1)
     lr = args.lr
     if args.load and ckpt.latest_step() is not None:
-        restored = ckpt.restore(
-            template={"params": params, "opt_state": opt_state}
+        from umnn_tpu.training.resume import resume_training_state
+
+        params, opt_state, lr, start_epoch, history = resume_training_state(
+            ckpt, optimizer,
+            template_params=params, template_opt_state=opt_state,
+            history=history, plateau=plateau, best=best,
+            init_lr=args.lr, logger=logger,
         )
-        if restored is not None:
-            _, params, opt_state = restored
-            # honor the (possibly plateau-reduced) lr inside the restored
-            # optimizer state — resetting to args.lr would let the next
-            # plateau RAISE the effective rate
-            lr = get_learning_rate(opt_state)
-            if not all(
-                np.isfinite(np.asarray(a)).all()
-                for a in jax.tree_util.tree_leaves(params)
-            ):
-                # a pre-guard run diverged and its periodic checkpoints are
-                # NaN: truncate history to the finite prefix, reload the
-                # best-valid params, replay the plateau schedule over that
-                # prefix to recover the honest lr, and rebuild fresh
-                # optimizer moments (the saved ones are NaN too)
-                n_ok = next(
-                    (i for i, v in enumerate(history["valid"])
-                     if not np.isfinite(v)),
-                    len(history["valid"]),
-                )
-                history["train"] = history["train"][:n_ok]
-                history["valid"] = history["valid"][:n_ok]
-                start_epoch = n_ok
-                best_p = ckpt.load_best("valid", params)
-                if best_p is None:
-                    raise RuntimeError(
-                        "latest checkpoint is non-finite and no best-valid "
-                        "fallback exists"
-                    )
-                params = best_p
-                lr = args.lr
-                for v in history["valid"]:
-                    lr = plateau.update(v, lr)
-                opt_state = optimizer.init(params)
-                opt_state = set_learning_rate(opt_state, lr)
-                logger.info(
-                    "restored checkpoint was non-finite: resuming from "
-                    "best-valid params at epoch %d (replayed lr %g)",
-                    start_epoch, lr,
-                )
-            else:
-                # replay the plateau over the saved history so its
-                # best/bad_epochs counters continue instead of resetting
-                # (the lr itself comes from the restored optimizer state)
-                replay_lr = args.lr
-                for v in history["valid"]:
-                    replay_lr = plateau.update(v, replay_lr)
-                logger.info("resumed at epoch %d (lr %g)", start_epoch, lr)
-            # seed the best trackers from history so early post-resume
-            # epochs can't overwrite a better historical best checkpoint
-            if history["train"]:
-                finite_t = [v for v in history["train"] if np.isfinite(v)]
-                finite_v = [v for v in history["valid"] if np.isfinite(v)]
-                if finite_t:
-                    best.best_train = min(finite_t)
-                if finite_v:
-                    best.best_valid = min(finite_v)
 
     def eval_split(x):
         tot, n_tot = [], 0

@@ -79,6 +79,15 @@ class CheckpointManager:
             return self._mngr.latest_step()
         return None  # pragma: no cover
 
+    def delete_steps_from(self, first_bad_step: int):
+        """Drop periodic checkpoints at/after ``first_bad_step`` — used when
+        a resume rolls the history back (e.g. a pre-guard run saved NaN
+        checkpoints); re-saving an existing step would otherwise collide."""
+        if _HAVE_ORBAX:
+            for s in list(self._mngr.all_steps()):
+                if s >= first_bad_step:
+                    self._mngr.delete(s)
+
     def load_history(self) -> dict:
         """The loss history doubles as the resume cursor
         (`UCIExperiments.py:116-122` semantics: cur_epoch = len(test_losses))."""

@@ -57,6 +57,11 @@ def main():
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-synthetic_rows", type=int, default=0,
                    help="0 = 20000 default; -1 = real dataset scale")
+    p.add_argument("-ar1_d", type=int, default=0,
+                   help=">0: train on the AR(1)-copula image gate at this "
+                        "dimension instead of a UCI stand-in (same draw as "
+                        "scripts/ar1_smalld_study.py; metric becomes bpp)")
+    p.add_argument("-ar1_rho", type=float, default=0.9)
     p.add_argument("-folder", default="runs/head_to_head")
     p.add_argument("-reference_root", default="/root/reference")
     p.add_argument("-max_epoch_seconds", type=float, default=0,
@@ -64,7 +69,8 @@ def main():
                         "budget (0 = run all nb_epoch); CPU torch is slow")
     args = p.parse_args()
 
-    folder = Path(args.folder) / args.data
+    run_name = f"ar1_d{args.ar1_d}" if args.ar1_d else args.data
+    folder = Path(args.folder) / run_name
     folder.mkdir(parents=True, exist_ok=True)
     (folder / "args.json").write_text(json.dumps(vars(args)))
     log_path = folder / "train.log"
@@ -80,11 +86,32 @@ def main():
         rows = SYNTH_REAL_ROWS[args.data]
     elif args.synthetic_rows > 0:
         rows = args.synthetic_rows
-    data = load_uci(args.data, synthetic=True, synthetic_rows=rows)
-    floor = synthetic_floor(args.data, seed=0, n_rows=rows)
-    log(f"dataset synthetic-{args.data}: dims={data.n_dims} "
-        f"train={len(data.trn)} valid={len(data.val)} test={len(data.tst)} "
-        f"exact floor {floor:.4f}")
+    if args.ar1_d:
+        # identical draw to scripts/ar1_smalld_study.py (same n-tuple rule)
+        from umnn_tpu.data.images import synthetic_mnist_ar1
+
+        r = rows or 20000
+        img, floor = synthetic_mnist_ar1(
+            rho=args.ar1_rho, seed=args.seed,
+            n=(r, max(r // 10, 500), max(r // 4, 1000)), d=args.ar1_d,
+        )
+
+        class _D:  # duck-typed UCIData
+            trn, val, tst = img.trn_x, img.val_x, img.tst_x
+            n_dims = args.ar1_d
+
+        data = _D()
+        metric = "bpp"
+        log(f"dataset ar1-copula d={args.ar1_d} rho={args.ar1_rho}: "
+            f"train={len(data.trn)} valid={len(data.val)} test={len(data.tst)} "
+            f"exact floor {floor:.4f} bpp (independence 8.0)")
+    else:
+        data = load_uci(args.data, synthetic=True, synthetic_rows=rows)
+        floor = synthetic_floor(args.data, seed=0, n_rows=rows)
+        metric = "nll"
+        log(f"dataset synthetic-{args.data}: dims={data.n_dims} "
+            f"train={len(data.trn)} valid={len(data.val)} test={len(data.tst)} "
+            f"exact floor {floor:.4f}")
 
     # --- the reference implementation, imported in place -------------------
     sys.path.insert(0, args.reference_root)
@@ -131,6 +158,31 @@ def main():
                 n += b.shape[0]
         return tot / n
 
+    def eval_bpp(x, alpha=1e-6):
+        # the driver bpp formula (`UMNNMAF.py:164-170`) applied to torch ll;
+        # mirrors umnn_tpu.models.umnn_maf.UMNNMAF.compute_bpp exactly
+        import math
+
+        model.eval()
+        d = x.shape[1]
+        tot, n = 0.0, 0
+        with torch.no_grad():
+            for b in batches(x, shuffle=False):
+                ll, _ = model.compute_ll(b)
+                sig = torch.sigmoid(b)
+                bpp = (
+                    -ll / (d * math.log(2))
+                    - math.log2(1 - 2 * alpha)
+                    + 8
+                    + (torch.log2(sig) + torch.log2(1 - sig)).sum(1) / d
+                )
+                tot += float(bpp.sum())
+                n += b.shape[0]
+        return tot / n
+
+    if args.ar1_d:
+        eval_nll = eval_bpp  # noqa: F811 — metric space is bpp in ar1 mode
+
     best_valid, best_state = float("inf"), None
     t_start = time.time()
     with open(folder / "metrics.jsonl", "a") as mf:
@@ -169,7 +221,9 @@ def main():
     log(f"FINAL test NLL (best-valid params): {test_nll:.4f}  "
         f"floor {floor:.4f}  gap {test_nll - floor:.4f}")
     print(json.dumps({
-        "impl": "reference-torch-cpu", "dataset": f"synthetic-{args.data}",
+        "impl": "reference-torch-cpu",
+        "dataset": f"synthetic-{run_name if args.ar1_d else args.data}",
+        "metric": metric,
         "rows": rows or 20000, "test_nll": test_nll, "floor": floor,
         "gap": test_nll - floor,
     }))

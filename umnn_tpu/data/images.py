@@ -123,6 +123,7 @@ def synthetic_mnist_ar1(
     rho: float = 0.7,
     seed: int = 0,
     n: tuple[int, int, int] = (20000, 2000, 5000),
+    d: int = 784,
 ):
     """Correlated 784-d synthetic stand-in with an EXACT bits/pixel floor.
 
@@ -133,8 +134,10 @@ def synthetic_mnist_ar1(
     with a raster-order AR(1) Gaussian copula: z_1 ~ N(0,1),
     z_{i+1} = rho*z_i + sqrt(1-rho^2)*eps, pixels y_i = Phi(z_i) — uniform
     marginals (so any independence model still scores exactly 8.0 bpp) but
-    mutual information I = -(783/2)*ln(1-rho^2) nats, all of which the MADE
-    conditioner must learn to reach the floor.
+    mutual information I = -((d-1)/2)*ln(1-rho^2) nats, all of which the
+    MADE conditioner must learn to reach the floor. ``d`` defaults to the
+    MNIST 784 but is adjustable for CPU-scale feasibility studies
+    (scripts/ar1_smalld_study.py).
 
     Pixels are continuous in (0,1) (pre-dequantized), pushed through the
     same ``alpha + (1-2*alpha)*y`` logit map as the real pipeline
@@ -146,7 +149,6 @@ def synthetic_mnist_ar1(
     rng = np.random.RandomState(seed)
     from scipy.stats import norm
 
-    d = 784
     n_tot = sum(n)
     eps = rng.randn(n_tot, d)
     z = np.empty((n_tot, d))

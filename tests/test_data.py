@@ -147,3 +147,17 @@ def test_synthetic_mnist_ar1_floor_math():
         + (np.log2(sig) + np.log2(1 - sig)).sum(1) / d
     )
     np.testing.assert_allclose(bpp, 8.0, rtol=1e-10)
+
+
+def test_synthetic_mnist_ar1_small_d():
+    """The d parameter (r3: CPU-scale gate feasibility studies) keeps the
+    floor math exact at any dimension: closed-form MI check at d=8."""
+    import numpy as np
+
+    from umnn_tpu.data.images import synthetic_mnist_ar1
+
+    rho, d = 0.9, 8
+    data, floor = synthetic_mnist_ar1(rho=rho, seed=3, n=(500, 200, 4000), d=d)
+    assert data.trn_x.shape == (500, d)
+    expected = 8.0 - ((d - 1.0) / d) * 0.5 * (-np.log2(1 - rho * rho))
+    assert abs(floor - expected) < 0.05, (floor, expected)

@@ -62,6 +62,14 @@ def main():
     p.add_argument("-b_size", type=int, default=100)
     p.add_argument("-lr", type=float, default=1e-3)
     p.add_argument("-wd", type=float, default=1e-2)
+    p.add_argument(
+        "-s_rate", type=float, default=0,
+        help="plateau LR decay factor on valid bpp; 0 (default) = fixed LR, "
+             "the reference MNIST semantics (`MNISTExperiment.py:43` has no "
+             "scheduler). Used by the AR(1) gate runs to close the "
+             "convergence tail.",
+    )
+    p.add_argument("-s_patience", type=int, default=5)
     p.add_argument("-conditionnal", action="store_true", help="class-conditional")
     p.add_argument("-gen", type=int, default=0, help="generate N images at the end")
     p.add_argument("-nb_iter", type=int, default=10, help="inversion iterations")
@@ -196,6 +204,9 @@ def main():
             start_epoch, params, opt_state = restored
             start_epoch += 1
             logger.info("resumed from epoch %d", start_epoch - 1)
+            from umnn_tpu.training.loops import get_learning_rate
+
+            args.lr = get_learning_rate(opt_state)  # checkpointed lr wins
 
     def eval_split(x, y):
         tot, n_tot = [], 0
@@ -209,6 +220,12 @@ def main():
         return float(jnp.stack(tot).sum()) / max(n_tot, 1)
 
     lip_key = jax.random.PRNGKey(args.seed + 97)
+    plateau = None
+    lr = args.lr
+    if args.s_rate > 0:
+        from umnn_tpu.training.loops import ReduceLROnPlateau, set_learning_rate
+
+        plateau = ReduceLROnPlateau(factor=args.s_rate, patience=args.s_patience)
     for epoch in range(start_epoch, args.nb_epoch):
         t0 = time.time()
         perm = rng.permutation(len(data.trn_x))
@@ -243,6 +260,12 @@ def main():
         metrics.scalar("valid_bpp", valid_bpp, epoch)
         metrics.scalar("test_bpp", test_bpp, epoch)
         best.update(train_nll, valid_bpp, params)
+        if plateau is not None:
+            new_lr = plateau.update(valid_bpp, lr)
+            if new_lr != lr:
+                lr = new_lr
+                opt_state = set_learning_rate(opt_state, lr)
+                logger.info("epoch %d: lr -> %g", epoch, lr)
         if epoch % 5 == 0:
             ckpt.save(epoch, params, opt_state)
         logger.info(

@@ -224,7 +224,35 @@ def bench_torch_reference(cfg, rounds=4):
     return best
 
 
+def _tunnel_alive(timeout=3.0):
+    """TCP-probe the axon relay (see scripts/tpu_probe.py): when its
+    listener threads die, any jax device call blocks forever, so bench
+    must fail fast with a diagnostic line instead of hanging the driver."""
+    import socket
+
+    for port in (8082, 8083, 8087):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=timeout):
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def main():
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu" and not _tunnel_alive():
+        print(json.dumps({
+            "metric": "quadrature-point integrand-MLP evals/s/chip (UCI parity config, fwd+bwd train step)",
+            "value": 0.0,
+            "unit": "evals/s",
+            "vs_baseline": 0.0,
+            "error": "TPU tunnel dead (TCP probe of the axon relay ports "
+                     "failed); jax.devices() would hang. See scripts/tpu_probe.py.",
+        }))
+        return 1
+
     configs_out = {}
     for name, cfg in CONFIGS.items():
         results = bench_config(name, cfg)

@@ -42,6 +42,7 @@ from umnn_tpu.parallel.mesh import batch_sharded, data_mesh, replicated
 from umnn_tpu.training.checkpoint import BestTracker, CheckpointManager
 from umnn_tpu.training.loops import (
     batch_iter,
+    finite_mean,
     make_optimizer,
     make_train_step,
     retry_transient,
@@ -251,7 +252,15 @@ def main():
                 *extras,
             )
             losses.append(loss)
-        train_nll = float(jnp.stack(losses).mean())
+        # exclude guard-skipped (non-finite) batches from the epoch metric,
+        # mirroring the train step's skip — see loops.finite_mean
+        train_nll, n_skip = finite_mean(losses)
+        if n_skip:
+            logger.info(
+                "epoch %d: %d/%d non-finite batch losses excluded from the "
+                "train metric (updates were skipped by the step guard)",
+                epoch, n_skip, len(losses),
+            )
         valid_bpp = eval_split(data.val_x, data.val_y)
         # per-epoch test bpp tracking (`MNISTExperiment.py:213-222` logs the
         # held-out loss every epoch alongside train)

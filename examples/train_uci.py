@@ -40,6 +40,7 @@ from umnn_tpu.training.checkpoint import BestTracker, CheckpointManager
 from umnn_tpu.training.loops import (
     ReduceLROnPlateau,
     batch_iter,
+    finite_mean,
     get_learning_rate,
     make_optimizer,
     make_train_step,
@@ -250,7 +251,16 @@ def main():
                 params, opt_state, jnp.asarray(b), *extras
             )
             losses.append(loss)
-        train_nll = float(jnp.stack(losses).mean())
+        # extreme tail rows in very large synthetic draws can overflow a
+        # single batch loss to inf; the step guard skipped those updates,
+        # so exclude them from the epoch metric too (keeps it informative)
+        train_nll, n_skip = finite_mean(losses)
+        if n_skip:
+            logger.info(
+                "epoch %d: %d/%d non-finite batch losses excluded from the "
+                "train metric (updates were skipped by the step guard)",
+                epoch, n_skip, len(losses),
+            )
         valid_nll = eval_split(data.val)
         history["train"].append(train_nll)
         history["valid"].append(valid_nll)

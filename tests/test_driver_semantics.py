@@ -151,6 +151,26 @@ def test_nonfinite_batch_skips_update():
     assert not np.array_equal(np.asarray(params3["w"]), w2)
 
 
+def test_finite_mean_excludes_guarded_batches():
+    """The epoch train metric must describe the updates that actually
+    happened: batches the step guard skipped (inf/nan loss) are excluded
+    from the mean and counted (seen live: a 1.23M-row bsds300 draw has
+    tail rows that overflow one batch loss per epoch)."""
+    from umnn_tpu.training.loops import finite_mean
+
+    mean, n = finite_mean([jnp.asarray(1.0), jnp.asarray(3.0)])
+    assert mean == 2.0 and n == 0
+
+    mean, n = finite_mean(
+        [jnp.asarray(1.0), jnp.asarray(np.inf), jnp.asarray(3.0),
+         jnp.asarray(np.nan)]
+    )
+    assert mean == 2.0 and n == 2
+
+    mean, n = finite_mean([jnp.asarray(np.inf)])
+    assert mean == np.inf and n == 1
+
+
 def test_retry_transient_behavior():
     """Transient remote-compile failures retry with backoff; real errors and
     exhausted retries re-raise."""

@@ -191,6 +191,21 @@ def make_train_step(
     return retry_transient(jax.jit(step, donate_argnums=(0, 1)))
 
 
+def finite_mean(losses) -> tuple[float, int]:
+    """Mean of the finite entries of a stacked per-batch loss list.
+
+    Companion to the train step's non-finite guard: a batch whose loss
+    overflowed was *skipped* by the optimizer, so excluding it from the
+    epoch metric keeps the logged train NLL describing the updates that
+    actually happened. Returns ``(mean, n_excluded)``; mean is ``inf``
+    when every batch diverged (which the guard makes near-impossible).
+    """
+    arr = np.asarray(jnp.stack(losses))
+    finite = np.isfinite(arr)
+    mean = float(arr[finite].mean()) if finite.any() else float("inf")
+    return mean, int((~finite).sum())
+
+
 def make_accum_train_step(
     loss_fn: Callable[[Params, Any], jax.Array],
     optimizer: optax.GradientTransformation,

@@ -70,11 +70,13 @@ def main():
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-real_scale", action="store_true",
                    help="use SYNTH_REAL_ROWS row counts (the §2a gates)")
+    p.add_argument("-rows", type=int, default=0,
+                   help="explicit row count override (the §2b ladder rungs)")
     args = p.parse_args()
 
     out = []
     for name in args.data:
-        rows = SYNTH_REAL_ROWS[name] if args.real_scale else None
+        rows = args.rows or (SYNTH_REAL_ROWS[name] if args.real_scale else None)
         floor = synthetic_floor(name, seed=args.seed, n_rows=rows)
         tst_nll, trn_nll, iters = oracle_test_nll(name, args.seed, rows)
         row = {

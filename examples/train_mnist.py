@@ -71,6 +71,14 @@ def main():
              "convergence tail.",
     )
     p.add_argument("-s_patience", type=int, default=5)
+    p.add_argument(
+        "-force_lr", type=float, default=0,
+        help="on -load resume, override the checkpointed learning rate "
+             "(0 = keep it). Rescue lever for runs whose plateau schedule "
+             "collapsed the LR before convergence: at bpp~7 a 1%%-relative "
+             "improvement per patience window is unreachable, so the torch "
+             "ReduceLROnPlateau semantics freeze long AR(1)-gate runs early.",
+    )
     p.add_argument("-conditionnal", action="store_true", help="class-conditional")
     p.add_argument("-gen", type=int, default=0, help="generate N images at the end")
     p.add_argument("-nb_iter", type=int, default=10, help="inversion iterations")
@@ -205,9 +213,13 @@ def main():
             start_epoch, params, opt_state = restored
             start_epoch += 1
             logger.info("resumed from epoch %d", start_epoch - 1)
-            from umnn_tpu.training.loops import get_learning_rate
+            from umnn_tpu.training.loops import get_learning_rate, set_learning_rate
 
             args.lr = get_learning_rate(opt_state)  # checkpointed lr wins
+            if args.force_lr > 0:
+                args.lr = args.force_lr
+                opt_state = set_learning_rate(opt_state, args.force_lr)
+                logger.info("resume: forcing lr -> %g", args.force_lr)
 
     def eval_split(x, y):
         tot, n_tot = [], 0

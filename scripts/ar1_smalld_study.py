@@ -41,7 +41,7 @@ from umnn_tpu.training.loops import make_optimizer
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("-d", type=int, default=64)
+    p.add_argument("-d", type=int, nargs="+", default=[64])
     p.add_argument("-rho", type=float, default=0.9)
     p.add_argument("-rows", type=int, default=20000)
     p.add_argument("-nb_epoch", type=int, default=80)
@@ -60,17 +60,27 @@ def main():
     p.add_argument("-gate", type=float, default=0.05)
     args = p.parse_args()
 
+    # several dimensions run sequentially IN ONE PROCESS: each tunnel
+    # process connect/disconnect risks stalling a peer's in-flight RPC
+    # (CLAUDE.md), so a d-sweep must not be N separate invocations
+    rc = 0
+    for d in args.d:
+        rc |= run_one(d, args)
+    return rc
+
+
+def run_one(d, args):
     data, floor = synthetic_mnist_ar1(
         rho=args.rho, seed=args.seed,
         n=(args.rows, max(args.rows // 10, 500), max(args.rows // 4, 1000)),
-        d=args.d,
+        d=d,
     )
-    print(f"d={args.d} rho={args.rho} rows={args.rows} exact floor {floor:.4f} bpp "
+    print(f"d={d} rho={args.rho} rows={args.rows} exact floor {floor:.4f} bpp "
           f"(independence floor 8.0)", flush=True)
 
     model = UMNNMAFFlow(
         nb_flow=args.nb_flow,
-        nb_in=args.d,
+        nb_in=d,
         hidden_derivative=tuple(args.hidden_derivative),
         hidden_embedding=tuple(args.hidden_embedding),
         embedding_s=args.embedding_s,
@@ -131,7 +141,7 @@ def main():
 
     gap = best[1] - floor
     print(json.dumps({
-        "d": args.d, "rho": args.rho, "rows": args.rows,
+        "d": d, "rho": args.rho, "rows": args.rows,
         "epochs": args.nb_epoch, "floor_bpp": floor,
         "test_bpp_best_valid": best[1], "gap_bpp": gap,
         "gate": args.gate, "pass": bool(gap < args.gate),

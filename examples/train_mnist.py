@@ -117,6 +117,13 @@ def main():
              "(`MNISTExperiment.py:55-57` load path, plus optimizer state as "
              "in the toy driver)",
     )
+    p.add_argument(
+        "-load_npz", default="",
+        help="warm-start params from a compact float16 snapshot "
+             "(scripts/snapshot_params.py) — cross-round resume when the "
+             "folder's Orbax checkpoints were not committed; optimizer "
+             "starts fresh",
+    )
     args = p.parse_args()
 
     folder = Path(args.folder)
@@ -203,6 +210,15 @@ def main():
     ckpt = CheckpointManager(folder / "ckpt")
     best = BestTracker(ckpt)
     rng = np.random.RandomState(args.seed + 1)
+
+    if args.load_npz:
+        # cross-round warm start from a committed compact snapshot
+        # (scripts/snapshot_params.py); optimizer state starts fresh.
+        # -load (full Orbax resume) below takes precedence if both hit.
+        from umnn_tpu.training.checkpoint import load_params_npz
+
+        params = load_params_npz(args.load_npz, params)
+        logger.info("warm-started params from %s (optimizer fresh)", args.load_npz)
 
     start_epoch = 0
     if args.load:

@@ -77,6 +77,13 @@ def main():
     p.add_argument("-folder", default="runs/uci")
     p.add_argument("-load", action="store_true", help="resume from checkpoint")
     p.add_argument(
+        "-load_npz", default="",
+        help="warm-start params from a compact float16 snapshot "
+             "(scripts/snapshot_params.py); with -test, evaluates the "
+             "snapshot directly — cross-round reproduction of committed "
+             "results without the (uncommitted) Orbax ckpt dir",
+    )
+    p.add_argument(
         "-test", action="store_true",
         help="evaluation-only: load the best-train checkpoint and report "
              "test NLL (at 100 steps in randomized mode) without training "
@@ -179,6 +186,14 @@ def main():
 
     ckpt = CheckpointManager(folder / "ckpt")
     best = BestTracker(ckpt)
+    if args.load_npz:
+        # cross-round warm start from a committed compact snapshot
+        # (scripts/snapshot_params.py); optimizer fresh. A subsequent -load
+        # (full Orbax resume, below) takes precedence if its ckpt exists.
+        from umnn_tpu.training.checkpoint import load_params_npz
+
+        params = load_params_npz(args.load_npz, params)
+        logger.info("warm-started params from %s (optimizer fresh)", args.load_npz)
     plateau = ReduceLROnPlateau(factor=args.s_rate, patience=args.s_patience)
     history = ckpt.load_history() if args.load else {"train": [], "valid": [], "test": []}
     start_epoch = len(history["valid"])  # loss-history resume cursor
@@ -209,7 +224,15 @@ def main():
         # All saved best-tags are reported (primary = best-train, reference
         # semantics); no training happens.
         results = {}
-        for tag in ("train", "valid", "train_valid"):
+        if args.load_npz:
+            # params were already warm-started from the snapshot above —
+            # evaluate them directly (committed-snapshot reproduction path)
+            results["npz"] = eval_split(data.tst)
+            logger.info(
+                "TEST-ONLY (npz snapshot %s, %d steps): test NLL %.4f over %d rows",
+                args.load_npz, eval_steps, results["npz"], len(data.tst),
+            )
+        for tag in () if args.load_npz else ("train", "valid", "train_valid"):
             loaded = ckpt.load_best(tag, params)
             if loaded is None:
                 continue

@@ -71,20 +71,27 @@ def main():
     rows = []
     want = args.only or ["power", "gas", "hepmass", "miniboone", "bsds300", "mnist_flow", "vae"]
 
+    # Synthetic-leg epoch budgets: the converged per-dataset budgets from the
+    # round-3 real-scale suite (PARITY_RUNS.md §2 — the plateau schedule
+    # freezes the LR well before these, so more epochs buy nothing). Real
+    # data keeps the reference's 500 (`UCIExperiments.py:209`).
+    synth_epochs = {
+        "power": "15", "gas": "25", "hepmass": "65",
+        "miniboone": "400", "bsds300": "150",
+    }
     for ds in ["power", "gas", "hepmass", "miniboone", "bsds300"]:
         if ds not in want:
             continue
         real = uci_available(ds, args.root)
-        epochs = "500" if real and not args.quick else ("3" if args.quick else "150")
+        epochs = "500" if real and not args.quick else ("3" if args.quick else synth_epochs[ds])
         cmd = [
             py, str(REPO / "examples/train_uci.py"), "-data", ds,
             "-nb_epoch", epochs, "-folder", str(out_dir / "uci"),
         ]
         if not real:
             # synthetic fallback at REAL row counts so the exact floor gates
-            cmd += ["-synthetic", "-synthetic_rows", "-1"]
-            if args.quick:
-                cmd += ["-synthetic_rows", "20000"]
+            # (quick mode caps rows for the fast plumbing proof)
+            cmd += ["-synthetic", "-synthetic_rows", "20000" if args.quick else "-1"]
         res = run(cmd, log)
         if res is None:
             rows.append((ds, "FAILED", None, None))

@@ -265,8 +265,19 @@ def main():
         torch_evals_per_step = B * D * 2 * (N + 1)
         flops_step = useful_flops_per_step(cfg)
         tflops_eff = flops_step / best / 1e12
+        # shape-imposed MFU ceiling: the integrand layers (<=100 wide) each
+        # occupy one full 128x128 MXU tile, so useful/padded FLOPs bounds
+        # the reachable MFU at these parity shapes (PERF.md; pack2 packs
+        # two quadrature nodes per row when every layer fits 64 lanes)
+        widths = [1 + cfg["E"], *cfg["hidden_der"]]
+        pack = 2 if max(widths) <= 64 else 1
+        f_row = 2 * sum(
+            a * b for a, b in zip(widths, [*cfg["hidden_der"], 1])
+        )
+        ceiling = f_row * pack / (2 * 128 * 128 * (len(cfg["hidden_der"]) + 1))
         entry = {
             "evals_per_s": round(evals_per_step / best, 1),
+            "mfu_shape_ceiling": round(ceiling, 4),
             "vs_torch_cpu": round(
                 (evals_per_step / best) / (torch_evals_per_step / torch_dt), 3
             ),

@@ -90,6 +90,13 @@ def main():
         "-plot_every", type=int, default=1,
         help="reconstruction/prior-sample grid cadence in epochs (0 = off)",
     )
+    p.add_argument(
+        "-load_npz", default="",
+        help="warm-start params from a compact float16 snapshot "
+             "(scripts/snapshot_params.py); with -eval_only, evaluates the "
+             "snapshot directly — cross-round reproduction of committed "
+             "headline numbers (mirrors train_uci.py)",
+    )
     args = p.parse_args()
 
     folder = Path(args.folder) / f"{args.dataset}_{args.flow}"
@@ -221,13 +228,29 @@ def main():
     key = jax.random.PRNGKey(args.seed + 2)
     best_valid, patience, best_params = float("inf"), 0, params
 
+    if args.load_npz:
+        # cross-round warm start / reproduction from a committed compact
+        # snapshot (scripts/snapshot_params.py); optimizer starts fresh
+        from umnn_tpu.training.checkpoint import load_params_npz
+
+        params = load_params_npz(args.load_npz, params)
+        best_params = params
+        logger.info("warm-started params from %s (optimizer fresh)", args.load_npz)
+
     if args.eval_only:
-        loaded = ckpt.load_best("valid", params)
-        if loaded is None:
-            logger.info("-eval_only: no best_valid checkpoint under %s", ckpt.directory)
-            return 1
-        best_params = loaded
-        logger.info("eval-only: loaded best-valid checkpoint from %s", ckpt.directory)
+        if args.load_npz:
+            logger.info("eval-only: evaluating the npz snapshot directly")
+        else:
+            loaded = ckpt.load_best("valid", params)
+            if loaded is None:
+                logger.info(
+                    "-eval_only: no best_valid checkpoint under %s", ckpt.directory
+                )
+                return 1
+            best_params = loaded
+            logger.info(
+                "eval-only: loaded best-valid checkpoint from %s", ckpt.directory
+            )
 
     for epoch in range(0 if args.eval_only else args.nb_epoch):
         t0 = time.time()

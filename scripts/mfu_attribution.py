@@ -132,6 +132,27 @@ def analyze(name, cfg):
 
     mxu = jax.jit(mxu_chain)
 
+    # one profiler-trace capture attempt per config (SURVEY §5.1): through
+    # the axon tunnel device-side traces may not materialize — record what
+    # does. Artifacts land in runs/trace_<name>/ for TensorBoard/Perfetto.
+    trace_info = {"captured": False}
+    try:
+        from umnn_tpu.utils.profiling import trace
+
+        tdir = REPO / "runs" / f"trace_{name}"
+        with trace(str(tdir)):
+            drain(step(params, x))
+        files = [p for p in tdir.rglob("*") if p.is_file()]
+        trace_info = {
+            "captured": any(p.suffix in (".pb", ".json", ".gz") or
+                            "trace" in p.name for p in files),
+            "n_files": len(files),
+            "bytes": sum(p.stat().st_size for p in files),
+            "dir": str(tdir),
+        }
+    except Exception as e:  # noqa: BLE001
+        trace_info = {"captured": False, "error": repr(e)[:300]}
+
     fns = {
         "emb_fwd": (emb, (params, x), cfg["iters"] * 4),
         "int_fwd": (int_fwd, (ws, bs, xr, hr), cfg["iters"] * 2),
@@ -159,6 +180,7 @@ def analyze(name, cfg):
     out = {
         "backend": backend,
         "pack": pack,
+        "profiler_trace": trace_info,
         "times_ms": {k: round(v * 1e3, 3) for k, v in t.items()},
         "times_ms_rounds": {k: [round(x * 1e3, 3) for x in v]
                             for k, v in times.items()},

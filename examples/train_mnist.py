@@ -305,6 +305,9 @@ def main():
                 logger.info("epoch %d: lr -> %g", epoch, lr)
         if epoch % 5 == 0:
             ckpt.save(epoch, params, opt_state)
+            # persist improved best stashes with the periodic save so a
+            # killed run cannot lose them (see train_uci.py)
+            best.flush()
         logger.info(
             "epoch %3d  train NLL %.1f  valid bpp %.4f  test bpp %.4f  (%.1fs)",
             epoch, train_nll, valid_bpp, test_bpp, time.time() - t0,

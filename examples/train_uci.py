@@ -297,6 +297,11 @@ def main():
             logger.info("epoch %d: lr -> %g", epoch, lr)
         if epoch % 5 == 0:
             ckpt.save(epoch, params, opt_state, history)
+            # persist improved best stashes alongside the periodic save: a
+            # killed run otherwise loses them (flush used to happen only at
+            # the natural end — the r4 bsds300 resume lost its epoch-65
+            # best-valid params that way)
+            best.flush()
         logger.info(
             "epoch %3d  train NLL %.4f  valid NLL %.4f  lr %g  (%.1fs)",
             epoch, train_nll, valid_nll, lr, time.time() - t0,
@@ -304,12 +309,17 @@ def main():
 
     best.flush()
     best_params = ckpt.load_best("valid", params)
+    which = "best-valid"
     if best_params is not None:
         params = best_params
+    else:
+        # possible after a resume whose epochs never beat the historical
+        # best (thresholds are seeded from history, params are not)
+        which = "last-epoch (no best-valid stash on disk)"
     test_nll = eval_split(data.tst)
     history["test"].append(test_nll)
     ckpt.save(args.nb_epoch, params, opt_state, history)
-    logger.info("FINAL test NLL (best-valid params): %.4f", test_nll)
+    logger.info("FINAL test NLL (%s params): %.4f", which, test_nll)
     print(json.dumps({"dataset": data.name, "test_nll": test_nll}))
     return 0
 

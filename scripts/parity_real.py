@@ -116,7 +116,11 @@ def main():
             "-nb_steps", "0", "-folder", str(out_dir / "mnist"),
         ]
         if not real:
-            cmd += ["-synthetic", "-synthetic_mode", "ar1"]
+            # AR(1) copula at the real MNIST row count (60k = 76 rows/dim),
+            # wd 0 per the §3a ablation (the reference's wd 1e-2 pins the
+            # conditioner at independence on this target)
+            cmd += ["-synthetic", "-synthetic_mode", "ar1", "-ar1_rho", "0.9",
+                    "-ar1_rows", "60000", "-wd", "0"]
         res = run(cmd, log)
         if res is None:
             rows.append(("mnist_flow", "FAILED", None, None))

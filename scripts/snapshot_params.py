@@ -33,20 +33,27 @@ def main():
     p.add_argument(
         "-tag", default="valid", choices=["valid", "train", "train_valid", "latest"]
     )
+    p.add_argument(
+        "-step", type=int, default=None,
+        help="with -tag latest: a specific retained Orbax step instead of "
+             "the newest (recovers a historical best whose best-tag stash "
+             "was lost to a mid-run kill)",
+    )
     p.add_argument("-out", default="", help="output .npz (default <folder>/params_<tag>.f16.npz)")
     args = p.parse_args()
 
     folder = Path(args.folder)
-    out = Path(args.out) if args.out else folder / f"params_{args.tag}.f16.npz"
+    suffix = f"step{args.step}" if args.step is not None else args.tag
+    out = Path(args.out) if args.out else folder / f"params_{suffix}.f16.npz"
 
-    if args.tag == "latest":
+    if args.tag == "latest" or args.step is not None:
         # jax import deferred: the best_* path below is pure numpy
         import jax
 
         from umnn_tpu.training.checkpoint import CheckpointManager, save_params_npz
 
         ckpt = CheckpointManager(folder / "ckpt")
-        restored = ckpt.restore()
+        restored = ckpt.restore(step=args.step)
         if restored is None:
             sys.exit(f"no Orbax step checkpoints under {folder}/ckpt/steps")
         step, params, _opt = restored

@@ -47,7 +47,7 @@ def main():
     p.add_argument("-data", default="bsds300", choices=sorted(UCI_DIMS))
     p.add_argument("-folder", required=True, help="run dir containing ckpt/ (train_uci layout)")
     p.add_argument("-load_npz", default="", help="f16 snapshot instead of the Orbax ckpt")
-    p.add_argument("-rows", type=int, default=2000)
+    p.add_argument("-rows", type=int, default=2000, help="-1 = the full split")
     p.add_argument("-b_size", type=int, default=100)
     p.add_argument("-steps", type=int, nargs="+", default=[50, 100, 200, 500, 1000])
     p.add_argument("-split", default="valid", choices=["valid", "test", "train"])
@@ -63,14 +63,29 @@ def main():
         help="integrand backend; default xla — the Pallas kernel caps its "
              "node axis well below the 1000-node probes",
     )
+    p.add_argument(
+        "-precision", default="", choices=["", "highest"],
+        help="set jax_default_matmul_precision; 'highest' makes TPU matmuls "
+             "f32-accurate (multi-pass) — the mitigation lever for models "
+             "that fail the -cast bf16 sensitivity check",
+    )
+    p.add_argument(
+        "-cast", default="", choices=["", "bf16"],
+        help="cast params+inputs to bfloat16 then back to f32 per matmul "
+             "input (precision-sensitivity probe: a healthy model moves "
+             "<0.01 nats; a numerically degenerate one moves by nats — the "
+             "TPU MXU runs f32 matmuls as bf16 passes at default precision)",
+    )
     args = p.parse_args()
 
+    if args.precision:
+        jax.config.update("jax_default_matmul_precision", args.precision)
     rows = SYNTH_REAL_ROWS[args.data] if args.synthetic_rows == -1 else (
         args.synthetic_rows or None
     )
     data = load_uci(args.data, synthetic=True, synthetic_rows=rows)
     split = {"valid": data.val, "test": data.tst, "train": data.trn}[args.split]
-    x = np.asarray(split[: args.rows], dtype=np.float32)
+    x = np.asarray(split if args.rows < 0 else split[: args.rows], dtype=np.float32)
 
     model = UMNNMAFFlow(
         nb_flow=args.nb_flow,
@@ -100,6 +115,14 @@ def main():
         step, params, _ = restored
         source = f"{args.folder}/ckpt step {step}"
 
+    if args.cast == "bf16":
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.bfloat16).astype(jnp.float32), params
+        )
+        x = np.asarray(
+            jnp.asarray(x, jnp.bfloat16).astype(jnp.float32), dtype=np.float32
+        )
+
     @jax.jit
     def nll_vec(prm, batch, nodes, weights):
         ll, _ = model.compute_ll(prm, batch, nodes=nodes, weights=weights)
@@ -115,11 +138,15 @@ def main():
                                            nodes, weights)))
         v = np.concatenate(vals)
         finite = np.isfinite(v)
+        fv = np.sort(v[finite]) if finite.any() else np.zeros(0)
         out["per_steps"][str(s)] = {
-            "nll_finite_mean": float(v[finite].mean()) if finite.any() else None,
+            "nll_finite_mean": float(fv.mean()) if fv.size else None,
             "n_nonfinite": int((~finite).sum()),
-            "nll_min": float(v[finite].min()) if finite.any() else None,
-            "nll_max": float(v[finite].max()) if finite.any() else None,
+            "nll_min": float(fv[0]) if fv.size else None,
+            "nll_max": float(fv[-1]) if fv.size else None,
+            # the left tail is where fake (sub-floor) likelihood mass lives
+            "smallest5": [float(t) for t in fv[:5]],
+            "median": float(np.median(fv)) if fv.size else None,
         }
         print(f"steps {s}: {out['per_steps'][str(s)]}", file=sys.stderr, flush=True)
     print(json.dumps(out))

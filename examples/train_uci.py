@@ -320,7 +320,28 @@ def main():
     history["test"].append(test_nll)
     ckpt.save(args.nb_epoch, params, opt_state, history)
     logger.info("FINAL test NLL (%s params): %.4f", which, test_nll)
-    print(json.dumps({"dataset": data.name, "test_nll": test_nll}))
+    # stamp the reported NLL with a likelihood-validity report: quadrature
+    # node-convergence + bf16-cast precision sensitivity on a valid slice
+    # (PARITY_RUNS §2e — an ill-conditioned flow can report NLL below the
+    # data's entropy floor; the reference cannot detect this at all)
+    import dataclasses as _dc
+
+    from umnn_tpu.utils.validity import density_validity_report
+
+    rep = density_validity_report(
+        model, params, jnp.asarray(data.val[:2000]),
+        steps=eval_steps, check_steps=min(4 * eval_steps, 400),
+    )
+    logger.info(
+        "validity: valid-slice NLL %.4f  node_gap %.4g  bf16_gap %.4g  "
+        "nonfinite %d -> %s",
+        rep.nll, rep.node_gap, rep.bf16_gap, rep.n_nonfinite,
+        "OK" if rep.ok() else "SUSPECT",
+    )
+    print(json.dumps({
+        "dataset": data.name, "test_nll": test_nll,
+        "validity": dict(_dc.asdict(rep), ok=rep.ok()),
+    }))
     return 0
 
 

@@ -25,4 +25,9 @@ timeout 3600 python scripts/precision_cost_ab.py runs/precision_cost_ab.json \
   > runs/precision_cost_ab.log 2>&1 || echo "PRECISION AB FAILED"
 tail -5 runs/precision_cost_ab.log
 
+echo "=== serve-path inversion bench $(date)"
+timeout 3600 python scripts/invert_bench.py runs/invert_bench.json \
+  > runs/invert_bench.log 2>&1 || echo "INVERT BENCH FAILED"
+tail -6 runs/invert_bench.log
+
 echo "=== stage4 done $(date)"

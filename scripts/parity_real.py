@@ -59,6 +59,12 @@ def main():
         help="subset of: power gas hepmass miniboone bsds300 mnist_flow vae",
     )
     ap.add_argument("--out", default="runs/parity_real")
+    ap.add_argument(
+        "--epochs", type=int, default=None,
+        help="override the per-leg epoch budget (wall-capped sessions; the "
+        "table labels budget-capped rows the same as full ones — record the "
+        "cap in the run notes)",
+    )
     args = ap.parse_args()
     os.environ["UMNN_DATA_ROOT"] = args.root
 
@@ -84,6 +90,8 @@ def main():
             continue
         real = uci_available(ds, args.root)
         epochs = "500" if real and not args.quick else ("3" if args.quick else synth_epochs[ds])
+        if args.epochs is not None:
+            epochs = str(args.epochs)
         cmd = [
             py, str(REPO / "examples/train_uci.py"), "-data", ds,
             "-nb_epoch", epochs, "-folder", str(out_dir / "uci"),
@@ -111,6 +119,8 @@ def main():
         except FileNotFoundError:
             real = False
         epochs = "2" if args.quick else ("40" if not real else "50")
+        if args.epochs is not None:
+            epochs = str(args.epochs)
         cmd = [
             py, str(REPO / "examples/train_mnist.py"), "-nb_epoch", epochs,
             "-nb_steps", "0", "-folder", str(out_dir / "mnist"),
@@ -132,6 +142,8 @@ def main():
     if "vae" in want:
         real = (Path(args.root) / "mnist_static" / "binarized_mnist_train.amat").exists()
         epochs = "2" if args.quick else ("30" if not real else "2000")
+        if args.epochs is not None:
+            epochs = str(args.epochs)
         cmd = [
             py, str(REPO / "examples/train_vae.py"), "-dataset", "mnist",
             "-flow", "MMAF", "-steps", "0", "-nb_epoch", epochs,

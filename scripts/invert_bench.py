@@ -9,7 +9,14 @@ methods at both parity configs on one chip, interleaved in one process
 (CLAUDE.md variance protocol: queue-drain timing, min over windows), and
 reports round-trip accuracy max|forward(invert(z)) - z| for each.
 
-Usage: python scripts/invert_bench.py [out.json] [--quick]
+It also runs an accuracy-vs-iters sweep at the UCI config checking the
+reference's claimed bisection tolerance (`UMNNMAFFlow.py:82`: "Approximate
+error of the inversion: 25/100**nb_iter"): x-space error max|invert(
+forward(x)) - x| per refinement count, reported next to the claimed curve
+and the actual geometric bracket-shrink rate (2/(candidates-1) per iter —
+see `UMNNMAF.invert`, which keeps the 2 grid cells around the argmin).
+
+Usage: python scripts/invert_bench.py [out.json] [--quick] [--no-sweep]
 """
 
 import json
@@ -33,6 +40,34 @@ METHODS = {
     # TPU-native: parallel Jacobi-Newton, all dims at once
     "newton": dict(method="newton", iters=30),
 }
+
+
+def accuracy_sweep(flow, params, B, D):
+    """x-space inversion error vs bisection iters (+ newton checkpoints),
+    against the reference's claimed 25/100**iters tolerance."""
+    # ground-truth x strictly inside the solver bound, z from the true fwd
+    x_true = jnp.clip(
+        jax.random.normal(jax.random.PRNGKey(7), (B, D)) * 1.5, -6.0, 6.0
+    )
+    z = flow.forward(params, x_true)
+    sweep = {"bisection": {}, "newton": {}, "claimed_25_over_100^k": {}}
+    for k in (1, 2, 3, 4, 6, 8, 10):
+        x_hat = jax.jit(
+            lambda p, zz, k=k: flow.invert(p, zz, iters=k, method="bisection")
+        )(params, z)
+        err = float(jnp.max(jnp.abs(x_hat - x_true)))
+        sweep["bisection"][k] = err
+        sweep["claimed_25_over_100^k"][k] = 25.0 / 100.0 ** k
+        print(f"sweep bisection iters={k}: x err {err:.3e} "
+              f"(claimed {25.0 / 100.0 ** k:.3e})", flush=True)
+    for k in (5, 10, 20, 30):
+        x_hat = jax.jit(
+            lambda p, zz, k=k: flow.invert(p, zz, iters=k, method="newton")
+        )(params, z)
+        err = float(jnp.max(jnp.abs(x_hat - x_true)))
+        sweep["newton"][k] = err
+        print(f"sweep newton iters={k}: x err {err:.3e}", flush=True)
+    return sweep
 
 
 def main():
@@ -90,7 +125,13 @@ def main():
                 entry["bisection"]["min_s_per_batch"]
                 / entry["newton"]["min_s_per_batch"]
             )
+        if name == "uci" and "--no-sweep" not in sys.argv:
+            entry["accuracy_vs_iters"] = accuracy_sweep(flow, params, B, D)
         results[name] = entry
+        # persist per-config: a stall in a later leg must not destroy
+        # completed measurements (r4 lost the MNIST leg exactly this way)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        out_path.write_text(json.dumps(results, indent=1))
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_text(json.dumps(results, indent=1))
     print(json.dumps({"out": str(out_path)}))

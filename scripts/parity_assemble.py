@@ -53,38 +53,50 @@ def main():
 
     from umnn_tpu.data.uci import SYNTH_REAL_ROWS, synthetic_floor
 
+    def leg_epochs(*candidates):
+        # the actual epoch budget, from the leg run-dir's args.json (so a
+        # budget-capped assembled row is labeled just like the orchestrator's)
+        for c in candidates:
+            p = out_dir / c / "args.json"
+            if p.exists():
+                return json.loads(p.read_text()).get("nb_epoch")
+        return None
+
     logs = sorted(out_dir.glob("*.log")) + sorted(out_dir.glob("*_leg.log"))
     rows = []
     for ds in ["power", "gas", "hepmass", "miniboone", "bsds300"]:
         obj = last_json(logs, f'"synthetic-{ds}"')
         if obj is None:
-            rows.append((ds, "MISSING", None, None))
+            rows.append((ds, "MISSING", None, None, None))
             continue
         floor = synthetic_floor(ds, n_rows=SYNTH_REAL_ROWS[ds])
-        rows.append((ds, "synthetic", obj["test_nll"], floor))
+        rows.append((ds, "synthetic", obj["test_nll"], floor,
+                     leg_epochs(f"uci/{ds}")))
 
     obj = last_json(logs, '"test_bpp"')
     if obj is None:
-        rows.append(("mnist_flow", "MISSING", None, None))
+        rows.append(("mnist_flow", "MISSING", None, None, None))
     else:
-        rows.append(("mnist_flow", "synthetic-ar1", obj["test_bpp"], obj["floor_bpp"]))
+        rows.append(("mnist_flow", "synthetic-ar1", obj["test_bpp"],
+                     obj["floor_bpp"], leg_epochs("mnist")))
 
     obj = last_json(logs, '"test_elbo"')
     if obj is None:
-        rows.append(("vae_mmaf", "MISSING", None, None))
+        rows.append(("vae_mmaf", "MISSING", None, None, None))
     else:
         rows.append(("vae_mmaf", "synthetic", obj["test_elbo"],
-                     784 * 0.6931471805599453))
+                     784 * 0.6931471805599453, leg_epochs("vae/mnist_MMAF")))
 
-    print("\n| workload | data | measured | target (floor) | gap |")
-    print("|---|---|---|---|---|")
+    print("\n| workload | data | measured | target (floor) | gap | epochs |")
+    print("|---|---|---|---|---|---|")
     report = []
-    for name, kind, measured, target in rows:
+    for name, kind, measured, target, epochs in rows:
         gap = None if (measured is None or target is None) else measured - target
         fmt = lambda v: "-" if v is None else f"{v:.4f}"  # noqa: E731
-        print(f"| {name} | {kind} | {fmt(measured)} | {fmt(target)} | {fmt(gap)} |")
+        print(f"| {name} | {kind} | {fmt(measured)} | {fmt(target)} | "
+              f"{fmt(gap)} | {epochs} |")
         report.append(dict(workload=name, data=kind, measured=measured,
-                           target=target, gap=gap))
+                           target=target, gap=gap, epochs=epochs))
     (out_dir / "parity_table.json").write_text(json.dumps(report, indent=1))
     print(f"\ntable -> {out_dir / 'parity_table.json'}")
     return 0 if all(r[1] != "MISSING" for r in rows) else 1

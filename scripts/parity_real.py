@@ -61,9 +61,9 @@ def main():
     ap.add_argument("--out", default="runs/parity_real")
     ap.add_argument(
         "--epochs", type=int, default=None,
-        help="override the per-leg epoch budget (wall-capped sessions; the "
-        "table labels budget-capped rows the same as full ones — record the "
-        "cap in the run notes)",
+        help="override the per-leg epoch budget (the actual budget is "
+        "recorded per row in parity_table.json so capped runs can't be "
+        "mistaken for full-protocol numbers)",
     )
     args = ap.parse_args()
     os.environ["UMNN_DATA_ROOT"] = args.root
@@ -102,13 +102,14 @@ def main():
             cmd += ["-synthetic", "-synthetic_rows", "20000" if args.quick else "-1"]
         res = run(cmd, log)
         if res is None:
-            rows.append((ds, "FAILED", None, None))
+            rows.append((ds, "FAILED", None, None, epochs))
             continue
         if real:
-            rows.append((ds, "real", res["test_nll"], BASELINE[ds]))
+            rows.append((ds, "real", res["test_nll"], BASELINE[ds], epochs))
         else:
             n = 20000 if args.quick else SYNTH_REAL_ROWS[ds]
-            rows.append((ds, "synthetic", res["test_nll"], synthetic_floor(ds, n_rows=n)))
+            rows.append((ds, "synthetic", res["test_nll"],
+                         synthetic_floor(ds, n_rows=n), epochs))
 
     if "mnist_flow" in want:
         from umnn_tpu.data.images import load_mnist_raw
@@ -133,11 +134,13 @@ def main():
                     "-ar1_rows", "60000", "-wd", "0"]
         res = run(cmd, log)
         if res is None:
-            rows.append(("mnist_flow", "FAILED", None, None))
+            rows.append(("mnist_flow", "FAILED", None, None, epochs))
         elif real:
-            rows.append(("mnist_flow", "real", res["test_bpp"], BASELINE["mnist_flow"]))
+            rows.append(("mnist_flow", "real", res["test_bpp"],
+                         BASELINE["mnist_flow"], epochs))
         else:
-            rows.append(("mnist_flow", "synthetic-ar1", res["test_bpp"], res["floor_bpp"]))
+            rows.append(("mnist_flow", "synthetic-ar1", res["test_bpp"],
+                         res["floor_bpp"], epochs))
 
     if "vae" in want:
         real = (Path(args.root) / "mnist_static" / "binarized_mnist_train.amat").exists()
@@ -155,22 +158,23 @@ def main():
             cmd += ["-synthetic"]
         res = run(cmd, log)
         if res is None:
-            rows.append(("vae_mmaf", "FAILED", None, None))
+            rows.append(("vae_mmaf", "FAILED", None, None, epochs))
         else:
             # synthetic binary floor: 784*ln2 nats ELBO (uniform bernoulli)
             target = None if real else 784 * 0.6931471805599453
             rows.append(("vae_mmaf", "real" if real else "synthetic",
-                         res["test_elbo"], target))
+                         res["test_elbo"], target, epochs))
 
-    print("\n| workload | data | measured | target (baseline/floor) | gap |")
-    print("|---|---|---|---|---|")
+    print("\n| workload | data | measured | target (baseline/floor) | gap | epochs |")
+    print("|---|---|---|---|---|---|")
     report = []
-    for name, kind, measured, target in rows:
+    for name, kind, measured, target, epochs in rows:
         gap = None if (measured is None or target is None) else measured - target
         fmt = lambda v: "-" if v is None else f"{v:.4f}"  # noqa: E731
-        print(f"| {name} | {kind} | {fmt(measured)} | {fmt(target)} | {fmt(gap)} |")
+        print(f"| {name} | {kind} | {fmt(measured)} | {fmt(target)} | "
+              f"{fmt(gap)} | {epochs} |")
         report.append(dict(workload=name, data=kind, measured=measured,
-                           target=target, gap=gap))
+                           target=target, gap=gap, epochs=int(epochs)))
     (out_dir / "parity_table.json").write_text(json.dumps(report, indent=1))
     print(f"\ntable -> {out_dir / 'parity_table.json'}")
     return 0

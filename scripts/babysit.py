@@ -101,9 +101,15 @@ def main(argv=None) -> int:
                         return 0
                     break  # crashed: relaunch below (same path as a stall)
                 mtime = os.path.getmtime(args.log)
-                # grace (jit compile window) applies until the process's
-                # first write; after that, plain stall detection
-                allowance = args.stall if mtime > started else grace
+                # grace (jit compile window) applies for the first --grace
+                # seconds after launch — drivers write startup lines BEFORE
+                # the long first-epoch compile, so keying the window off the
+                # first write (as this originally did) re-arms the short
+                # stall limit right as the compile begins and kills every
+                # launch on slow-compile days (observed r5: 15-25 min
+                # compiles vs a 900 s stall limit, infinite kill loop)
+                in_grace = time.time() - started < grace
+                allowance = grace if in_grace else args.stall
                 silent = time.time() - max(mtime, started)
                 if silent > allowance:
                     print(

@@ -22,16 +22,28 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+import re
+
+_EPOCH_RE = re.compile(r"^epoch\s+(\d+)\b")
+
+
 def last_json(paths, match):
-    """Return the last parseable JSON object line containing `match` across
-    the given log files (later files win)."""
-    found = None
+    """Return (obj, epochs) — the last parseable JSON object line containing
+    `match` across the given log files (later files win), plus the actual
+    epoch budget recovered from the nearest preceding `epoch K` training
+    line (K+1; None if the leg's run dir and log both lack it)."""
+    found, found_epochs = None, None
     for p in paths:
         p = Path(p)
         if not p.exists():
             continue
+        last_epoch = None
         for line in p.read_text(errors="replace").splitlines():
             line = line.strip()
+            m = _EPOCH_RE.match(line)
+            if m:
+                last_epoch = int(m.group(1)) + 1
+                continue
             if not line.startswith("{") or match not in line:
                 continue
             try:
@@ -41,8 +53,8 @@ def last_json(paths, match):
             # training-run lines only — skip eval-only reproductions
             if obj.get("mode") == "test_only":
                 continue
-            found = obj
-    return found
+            found, found_epochs = obj, last_epoch
+    return found, found_epochs
 
 
 def main():
@@ -65,27 +77,28 @@ def main():
     logs = sorted(out_dir.glob("*.log")) + sorted(out_dir.glob("*_leg.log"))
     rows = []
     for ds in ["power", "gas", "hepmass", "miniboone", "bsds300"]:
-        obj = last_json(logs, f'"synthetic-{ds}"')
+        obj, log_epochs = last_json(logs, f'"synthetic-{ds}"')
         if obj is None:
             rows.append((ds, "MISSING", None, None, None))
             continue
         floor = synthetic_floor(ds, n_rows=SYNTH_REAL_ROWS[ds])
         rows.append((ds, "synthetic", obj["test_nll"], floor,
-                     leg_epochs(f"uci/{ds}")))
+                     leg_epochs(f"uci/{ds}") or log_epochs))
 
-    obj = last_json(logs, '"test_bpp"')
+    obj, log_epochs = last_json(logs, '"test_bpp"')
     if obj is None:
         rows.append(("mnist_flow", "MISSING", None, None, None))
     else:
         rows.append(("mnist_flow", "synthetic-ar1", obj["test_bpp"],
-                     obj["floor_bpp"], leg_epochs("mnist")))
+                     obj["floor_bpp"], leg_epochs("mnist") or log_epochs))
 
-    obj = last_json(logs, '"test_elbo"')
+    obj, log_epochs = last_json(logs, '"test_elbo"')
     if obj is None:
         rows.append(("vae_mmaf", "MISSING", None, None, None))
     else:
         rows.append(("vae_mmaf", "synthetic", obj["test_elbo"],
-                     784 * 0.6931471805599453, leg_epochs("vae/mnist_MMAF")))
+                     784 * 0.6931471805599453,
+                     leg_epochs("vae/mnist_MMAF") or log_epochs))
 
     print("\n| workload | data | measured | target (floor) | gap | epochs |")
     print("|---|---|---|---|---|---|")

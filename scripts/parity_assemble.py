@@ -60,6 +60,11 @@ def last_json(paths, match):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="runs/parity_real")
+    ap.add_argument(
+        "--extra_logs", nargs="*", default=[],
+        help="additional leg logs to scan (e.g. a committed run from an "
+        "earlier round when this round's harness leg was interrupted)",
+    )
     args = ap.parse_args()
     out_dir = REPO / args.out
 
@@ -74,7 +79,8 @@ def main():
                 return json.loads(p.read_text()).get("nb_epoch")
         return None
 
-    logs = sorted(out_dir.glob("*.log")) + sorted(out_dir.glob("*_leg.log"))
+    logs = (sorted(out_dir.glob("*.log")) + sorted(out_dir.glob("*_leg.log"))
+            + [REPO / p for p in args.extra_logs])
     rows = []
     for ds in ["power", "gas", "hepmass", "miniboone", "bsds300"]:
         obj, log_epochs = last_json(logs, f'"synthetic-{ds}"')
@@ -93,6 +99,20 @@ def main():
                      obj["floor_bpp"], leg_epochs("mnist") or log_epochs))
 
     obj, log_epochs = last_json(logs, '"test_elbo"')
+    if obj is None:
+        # pre-r4 driver logs print 'FINAL test ELBO: X' without the JSON line
+        elbo_re = re.compile(r"FINAL test ELBO:\s*([0-9.]+)")
+        for p in logs:
+            if not Path(p).exists():
+                continue
+            last_epoch = None
+            for line in Path(p).read_text(errors="replace").splitlines():
+                m = _EPOCH_RE.match(line.strip())
+                if m:
+                    last_epoch = int(m.group(1)) + 1
+                m = elbo_re.search(line)
+                if m:
+                    obj, log_epochs = {"test_elbo": float(m.group(1))}, last_epoch
     if obj is None:
         rows.append(("vae_mmaf", "MISSING", None, None, None))
     else:
